@@ -1,0 +1,191 @@
+"""Radix-2 NTT / iNTT over the scalar field, batched and XLA-friendly.
+
+TPU-native replacement for ark-poly's ``Radix2EvaluationDomain`` (used by the
+reference for QAP interpolation, ``crates/groth16-qap/src/lib.rs:100-169``).
+Design:
+
+  - iterative Cooley-Tukey DIT with one up-front bit-reversal gather and
+    log2(N) stages of static-slice butterflies (reshape + concat, no dynamic
+    control flow, so XLA tiles it cleanly),
+  - field elements are (..., N, L) uint32 limb arrays in Montgomery form;
+    batch axes vectorize over the VPU lanes,
+  - one shared (N/2, L) twiddle table; stage s uses the strided view
+    ``W[::N/2^s]`` so memory stays O(N),
+  - coset transforms (for the evaluation-form Groth16 quotient
+    H = (A.B - C) / Z on a coset, fixing reference bug SURVEY.md 2.9(7))
+    are input/output scalings by coset-power tables.
+
+The distributed (multi-chip) variant lives in ``zkp_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field.fp import Fp, ints_to_limbs
+
+
+def _bit_reverse_perm(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+class Domain:
+    """A radix-2 evaluation domain of size 2^log_n over a prime field."""
+
+    def __init__(self, field: Fp, log_n: int, omega: int, coset_gen: int | None = None):
+        self.field = field
+        self.log_n = int(log_n)
+        self.n = 1 << self.log_n
+        p = field.p
+        self.omega = omega % p
+        assert pow(self.omega, self.n, p) == 1
+        if self.n > 1:
+            assert pow(self.omega, self.n // 2, p) != 1, "omega is not primitive"
+        self.omega_inv = pow(self.omega, -1, p)
+        self.n_inv = pow(self.n, -1, p)
+        self.coset_gen = coset_gen  # set lazily via with_coset / curve default
+
+        self._perm = jnp.asarray(_bit_reverse_perm(self.log_n))
+
+        # twiddle tables W[j] = omega^j (mont), j < n/2 ; and inverse
+        half = max(self.n // 2, 1)
+        fwd, inv = [], []
+        w, wi = 1, 1
+        R = field.R_int
+        for _ in range(half):
+            fwd.append(w * R % p)
+            inv.append(wi * R % p)
+            w = w * self.omega % p
+            wi = wi * self.omega_inv % p
+        self._tw_fwd = jnp.asarray(ints_to_limbs(fwd, field.n))
+        self._tw_inv = jnp.asarray(ints_to_limbs(inv, field.n))
+        self._n_inv_mont = jnp.asarray(ints_to_limbs([self.n_inv * R % p], field.n)[0])
+        self._pow_cache: dict = {}
+
+    # ------------------------------------------------------------- power tabs
+
+    def powers(self, base: int, count: int | None = None):
+        """(count, L) mont table of base^j, cached."""
+        count = self.n if count is None else count
+        key = (base % self.field.p, count)
+        if key not in self._pow_cache:
+            p, R = self.field.p, self.field.R_int
+            vals = []
+            acc = 1
+            for _ in range(count):
+                vals.append(acc * R % p)
+                acc = acc * (base % p) % p
+            self._pow_cache[key] = jnp.asarray(ints_to_limbs(vals, self.field.n))
+        return self._pow_cache[key]
+
+    # ----------------------------------------------------------------- kernel
+
+    def _transform(self, x, tw):
+        f = self.field
+        N, L = self.n, f.n
+        assert x.shape[-2] == N, f"expected (..., {N}, {L})"
+        batch = x.shape[:-2]
+        x = jnp.take(x, self._perm, axis=-2)
+        for s in range(1, self.log_n + 1):
+            m = 1 << s
+            half = m // 2
+            stride = (self.n // 2) // half
+            w = tw[::stride]  # (half, L)
+            xv = x.reshape(batch + (N // m, m, L))
+            a = xv[..., :half, :]
+            b = xv[..., half:, :]
+            t = f.mul(b, w)
+            x = jnp.concatenate([f.add(a, t), f.sub(a, t)], axis=-2).reshape(batch + (N, L))
+        return x
+
+    def ntt(self, coeffs):
+        """Coefficients -> evaluations at [omega^0 .. omega^(n-1)] (natural order)."""
+        if self.n == 1:
+            return coeffs
+        return self._transform(coeffs, self._tw_fwd)
+
+    def intt(self, evals):
+        """Evaluations -> coefficients."""
+        if self.n == 1:
+            return evals
+        out = self._transform(evals, self._tw_inv)
+        return self.field.mul(out, self._n_inv_mont)
+
+    def coset_ntt(self, coeffs, shift: int):
+        """Evaluate on the coset shift * H: scale coeffs by shift^i, then NTT."""
+        scaled = self.field.mul(coeffs, self.powers(shift))
+        return self.ntt(scaled)
+
+    def coset_intt(self, evals, shift: int):
+        """Interpolate from evaluations on shift * H."""
+        coeffs = self.intt(evals)
+        return self.field.mul(coeffs, self.powers(pow(shift, -1, self.field.p)))
+
+    # ------------------------------------------------------------- evaluation
+
+    def vanishing_at(self, point: int) -> int:
+        """Z(point) = point^n - 1 (host int)."""
+        return (pow(point, self.n, self.field.p) - 1) % self.field.p
+
+    def vanishing_on_coset(self, shift: int) -> int:
+        """Z is constant on a coset: Z(shift * w^j) = shift^n - 1."""
+        return (pow(shift, self.n, self.field.p) - 1) % self.field.p
+
+    def lagrange_coeffs_at(self, s: int):
+        """(n, L) mont array of L_j(s) = Z(s) * w^j / (n * (s - w^j)).
+
+        Used by the trusted setup to evaluate all QAP polynomials at the
+        toxic point s in O(nnz) without any per-variable iNTT
+        (vs reference crates/groth16-qap/src/lib.rs:143-170).
+        """
+        f = self.field
+        p = f.p
+        s = s % p
+        if pow(s, self.n, p) == 1:
+            # s lies on the domain: L_j(s) = [s == w^j]
+            w = 1
+            vals = []
+            for _ in range(self.n):
+                vals.append(f.R_int % p if w == s else 0)
+                w = w * self.omega % p
+            return jnp.asarray(ints_to_limbs(vals, f.n))
+        zs_over_n = self.vanishing_at(s) * self.n_inv % p
+        wj = self.powers(self.omega)                      # (n, L) mont
+        s_arr = f.const(s, shape=(self.n,))
+        denom = f.sub(s_arr, wj)                          # s - w^j
+        denom_inv = f.batch_inv(denom)
+        num = f.mul(wj, f.const(zs_over_n, shape=(self.n,)))
+        return f.mul(num, denom_inv)
+
+
+class DomainCache:
+    """Per-curve domain cache (keyed by log_n)."""
+
+    def __init__(self, curve):
+        self.curve = curve
+        self._cache = {}
+
+    def get(self, log_n: int) -> Domain:
+        if log_n not in self._cache:
+            root = self.curve.domain_root(log_n)
+            self._cache[log_n] = Domain(self.curve.fr, log_n, root,
+                                        coset_gen=self.curve.fr_generator)
+        return self._cache[log_n]
+
+
+_caches: dict = {}
+
+
+def domain_for(curve, log_n: int) -> Domain:
+    if curve.name not in _caches:
+        _caches[curve.name] = DomainCache(curve)
+    return _caches[curve.name].get(log_n)

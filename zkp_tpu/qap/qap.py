@@ -1,0 +1,196 @@
+"""R1CS -> QAP over a radix-2 domain, in evaluation form (TPU-first).
+
+Replaces the reference's ``crates/groth16-qap/src/lib.rs``:
+  - ``QAP::from_r1cs`` (:95-187) materializes dense n x V evaluation
+    matrices and runs 3V per-variable iFFTs.  We instead keep the R1CS
+    sparse (COO on device) and never build per-variable polynomials
+    (fixing the O(n*V) blowups noted in SURVEY.md 2.9(6,7)):
+      * witness-side evaluations A(w^j) = <a_j, z> are sparse matvecs
+        (gather + limb-wise segment-sum + one wide reduction),
+      * setup-side evaluations A_i(s) = sum_j a_{j,i} L_j(s) are the
+        transposed matvecs against a Lagrange-coefficient table,
+  - ``compute_quotient_polynomial`` (:225-271) divides dense polynomials;
+    we compute H = (A.B - C)/Z on a multiplicative coset where Z is the
+    constant g^n - 1 (3 iNTTs + 3 coset NTTs + 1 coset iNTT + pointwise).
+
+A dense ``variable_polys`` view is kept for small-size parity tests with the
+reference semantics.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..field.params import CurveParams
+from ..ntt.ntt import Domain, domain_for
+from ..r1cs.r1cs import R1CS
+
+
+class QAPError(Exception):
+    """(reference: QAPError, groth16-qap/src/lib.rs:63-86)"""
+
+
+MAX_LC_TERMS = 1024  # per-row sparsity bound keeping uint32 lazy sums exact
+
+
+class QAP:
+    """Sparse evaluation-form QAP for a fixed R1CS."""
+
+    def __init__(self, curve: CurveParams, r1cs: R1CS):
+        if r1cs.p != curve.r:
+            raise QAPError("R1CS field does not match curve scalar field")
+        self.curve = curve
+        self.fr = curve.fr
+        self.num_variables = r1cs.num_variables
+        self.num_public = r1cs.num_public
+        self.num_constraints = r1cs.num_constraints
+        log_n = max(1, (max(1, self.num_constraints) - 1).bit_length())
+        if (1 << log_n) < self.num_constraints:
+            log_n += 1
+        self.domain: Domain = domain_for(curve, log_n)
+        self.n = self.domain.n
+
+        coo = r1cs.to_coo()
+        self._mats = {}
+        for name, (rows, cols, coeffs) in coo.items():
+            counts = np.bincount(rows, minlength=1)
+            if counts.size and counts.max() > MAX_LC_TERMS:
+                raise QAPError(f"constraint with {counts.max()} terms exceeds "
+                               f"device sparsity bound {MAX_LC_TERMS}")
+            self._mats[name] = (
+                jnp.asarray(rows),
+                jnp.asarray(cols),
+                self.fr.encode(coeffs) if coeffs else jnp.zeros((0, self.fr.n), jnp.uint32),
+            )
+        self._spmv = jax.jit(self._spmv_impl, static_argnames=("name", "by_col"))
+        self._h_jit = jax.jit(self._compute_h_impl)
+        self._eval_jit = jax.jit(self._eval_vectors_impl)
+
+    # --------------------------------------------------------- sparse matvec
+
+    def _lazy_segment_reduce(self, prods, seg_ids, num_segments):
+        """Limb-wise uint32 segment sum of Montgomery products + wide reduce."""
+        f = self.fr
+        acc = jax.ops.segment_sum(prods, seg_ids, num_segments=num_segments)
+        carried, _ = f._carry(acc, f.n + 2)
+        return f.reduce_wide(carried)
+
+    def _spmv_impl(self, z, name: str, by_col: bool):
+        """A @ z (by_col=False, -> (n,)) or A^T @ w (by_col=True, -> (V,))."""
+        rows, cols, coeffs = self._mats[name]
+        f = self.fr
+        if coeffs.shape[0] == 0:
+            out_len = self.num_variables if by_col else self.n
+            return f.zeros((out_len,))
+        gather_idx = cols if not by_col else rows
+        seg_idx = rows if not by_col else cols
+        out_len = self.n if not by_col else self.num_variables
+        prods = f.mul(coeffs, z[gather_idx])
+        return self._lazy_segment_reduce(prods, seg_idx, out_len)
+
+    # ------------------------------------------------------------ public API
+
+    def eval_vectors(self, z):
+        """A, B, C evaluated on the domain: three (n, L) mont arrays.
+
+        z: (num_variables, L) mont assignment (z[0] = 1).
+        """
+        return self._eval_jit(z)
+
+    def _eval_vectors_impl(self, z):
+        return tuple(self._spmv_impl(z, name, False) for name in ("a", "b", "c"))
+
+    def evaluate_all_at(self, s: int):
+        """Setup path: (A_i(s), B_i(s), C_i(s)) for every variable i.
+
+        Three (V, L) mont arrays, via transposed sparse matvec against the
+        Lagrange table L_j(s) (replaces reference setup/lib.rs:174-182's
+        rayon per-poly evaluation).
+        """
+        lag = self.domain.lagrange_coeffs_at(s)
+        return tuple(self._spmv(lag, name=name, by_col=True) for name in ("a", "b", "c"))
+
+    def compute_h(self, z):
+        """Quotient H = (A.B - C)/Z as (n, L) coefficients (top 2 limbs zero).
+
+        deg H <= n - 2; the returned array has n slots with the last
+        coefficient identically zero for valid witnesses.
+        """
+        return self._h_jit(z)
+
+    def _compute_h_impl(self, z):
+        f = self.fr
+        d = self.domain
+        g = self.curve.fr_generator
+        a_v, b_v, c_v = self._eval_vectors_impl(z)
+        a_c = d.intt(a_v)
+        b_c = d.intt(b_v)
+        c_c = d.intt(c_v)
+        a_g = d.coset_ntt(a_c, g)
+        b_g = d.coset_ntt(b_c, g)
+        c_g = d.coset_ntt(c_c, g)
+        num = f.sub(f.mul(a_g, b_g), c_g)
+        z_inv = pow(d.vanishing_on_coset(g), -1, f.p)
+        h_g = f.mul(num, f.const(z_inv, shape=(1,)))
+        return d.coset_intt(h_g, g)
+
+    def is_satisfied(self, z) -> bool:
+        """Check A.B - C = 0 on the domain (witness validity)."""
+        a_v, b_v, c_v = self.eval_vectors(z)
+        f = self.fr
+        diff = f.sub(f.mul(a_v, b_v), c_v)
+        return bool(jax.device_get(jnp.all(f.is_zero(diff))))
+
+    def evaluate_at(self, point: int, z):
+        """(A(point), B(point), C(point), H(point)*Z(point)) as host ints.
+
+        Parity surface with reference ``evaluate_at`` (:190-220) /
+        ``verify_evaluation`` (:274-282): A(x)B(x) - C(x) = H(x)Z(x).
+        """
+        f = self.fr
+        d = self.domain
+        a_v, b_v, c_v = self.eval_vectors(z)
+        coeffs = [d.intt(v) for v in (a_v, b_v, c_v)]
+        h = self.compute_h(z)
+        outs = []
+        for cf in coeffs + [h]:
+            ints = [int(v) for v in f.decode(cf)]
+            acc = 0
+            for c in reversed(ints):  # Horner (reference field utils :161-171)
+                acc = (acc * point + c) % f.p
+            outs.append(acc)
+        a_s, b_s, c_s = outs[:3]
+        hz = outs[3] * d.vanishing_at(point) % f.p
+        return a_s, b_s, c_s, hz
+
+    def verify_evaluation(self, point: int, z) -> bool:
+        a_s, b_s, c_s, hz = self.evaluate_at(point, z)
+        return (a_s * b_s - c_s - hz) % self.fr.p == 0
+
+    @property
+    def degree(self) -> int:
+        """Domain size (vanishing degree); H has degree <= n-2."""
+        return self.n
+
+    # ----------------------------------------------- dense parity view (test)
+
+    def variable_polys(self, name: str):
+        """Dense per-variable coefficient matrix (V, n, L) — small sizes only.
+
+        Mirrors the reference's a_polys/b_polys/c_polys
+        (groth16-qap/src/lib.rs:30-46) for cross-checking; O(V*n) memory.
+        """
+        if self.n * self.num_variables > 1 << 22:
+            raise QAPError("dense view too large; use sparse APIs")
+        rows, cols, coeffs = self._mats[name]
+        rows_h, cols_h = np.asarray(rows), np.asarray(cols)
+        coeffs_h = np.asarray(coeffs)
+        # dense evaluation matrix per variable, then one batched iNTT
+        evals = np.zeros((self.num_variables, self.n, self.fr.n), dtype=np.uint32)
+        for k in range(rows_h.shape[0]):
+            evals[int(cols_h[k]), int(rows_h[k])] = coeffs_h[k]
+        return self.domain.intt(jnp.asarray(evals))
