@@ -1,0 +1,112 @@
+"""Tower + pairing tests: bit-exact vs python oracle, bilinearity, checks."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from zkp_tpu.curve.curves import curve_ops
+from zkp_tpu.pairing.pairing import pairing_engine, _encode_fq12
+from zkp_tpu.ref import pyref
+
+
+def _py_fq2(q, seed, fq):
+    vals = fq.random_ints(seed, 2)
+    return pyref.Fq2(q, vals[0], vals[1])
+
+
+def _py_fq12(ref, seed, fq):
+    xi = ref.xi
+    sixes = []
+    for j in range(2):
+        pairs = [_py_fq2(ref.q, seed * 10 + j * 3 + t, fq) for t in range(3)]
+        sixes.append(pyref.Fq6(xi, *pairs))
+    return pyref.Fq12(*sixes)
+
+
+@pytest.fixture(scope="module", params=["bls12_381", "bn254"])
+def setup(request):
+    ops = curve_ops(request.param)
+    ref = pyref.CurveRef(ops.params)
+    eng = pairing_engine(request.param)
+    return ops, ref, eng
+
+
+def test_tower_mul_inv_matches_oracle(setup):
+    ops, ref, eng = setup
+    f12 = ops.f12
+    a_py = _py_fq12(ref, 3, ops.fq)
+    b_py = _py_fq12(ref, 4, ops.fq)
+    A = _encode_fq12(ops.fq, a_py)[None]
+    B = _encode_fq12(ops.fq, b_py)[None]
+    got_mul = np.asarray(f12.mul(A, B)[0])
+    expect = _encode_fq12(ops.fq, a_py * b_py)
+    assert (got_mul == np.asarray(expect)).all()
+    got_inv = np.asarray(f12.inv(A)[0])
+    expect_inv = _encode_fq12(ops.fq, a_py.inv())
+    assert (got_inv == np.asarray(expect_inv)).all()
+    # sqr == mul(a, a)
+    assert (np.asarray(f12.sqr(A)) == np.asarray(f12.mul(A, A))).all()
+
+
+def test_pairing_matches_oracle(setup):
+    ops, ref, eng = setup
+    a, b = 5, 7
+    P = ref.g1_mul(a, ref.g1)
+    Q = ref.g2_mul(b, ref.g2)
+    xp = ops.fq.encode([P[0]])
+    yp = ops.fq.encode([P[1]])
+    xq = ops.fq.encode([[Q[0].c0, Q[0].c1]])
+    yq = ops.fq.encode([[Q[1].c0, Q[1].c1]])
+    got = eng.pairing(xp, yp, xq, yq)[0]
+    expect = _encode_fq12(ops.fq, ref.pairing(P, Q))
+    assert (np.asarray(got) == np.asarray(expect)).all()
+
+
+def test_bilinearity(setup):
+    ops, ref, eng = setup
+    # e(aP, bQ) == e(abP, Q)
+    a, b = 3, 11
+    P1 = ref.g1_mul(a, ref.g1)
+    Q1 = ref.g2_mul(b, ref.g2)
+    P2 = ref.g1_mul(a * b, ref.g1)
+    Q2 = ref.g2
+    xp = ops.fq.encode([P1[0], P2[0]])
+    yp = ops.fq.encode([P1[1], P2[1]])
+    xq = ops.fq.encode([[Q1[0].c0, Q1[0].c1], [Q2[0].c0, Q2[0].c1]])
+    yq = ops.fq.encode([[Q1[1].c0, Q1[1].c1], [Q2[1].c0, Q2[1].c1]])
+    got = eng.pairing(xp, yp, xq, yq)
+    assert (np.asarray(got[0]) == np.asarray(got[1])).all()
+    # non-degeneracy
+    one = np.asarray(jnp.broadcast_to(eng.f12.ones(), got[0].shape))
+    assert not (np.asarray(got[0]) == one).all()
+
+
+def test_pairing_check_accepts_and_rejects(setup):
+    ops, ref, eng = setup
+    q = ops.params.q
+    P = ref.g1_mul(9, ref.g1)
+    Q = ref.g2_mul(4, ref.g2)
+    negP = (P[0], (-P[1]) % q)
+    xp = ops.fq.encode([P[0], negP[0]])
+    yp = ops.fq.encode([P[1], negP[1]])
+    xq = ops.fq.encode([[Q[0].c0, Q[0].c1]] * 2)
+    yq = ops.fq.encode([[Q[1].c0, Q[1].c1]] * 2)
+    assert eng.pairing_check(xp, yp, xq, yq)
+    # e(P,Q) * e(P,Q) != 1
+    yp_bad = ops.fq.encode([P[1], P[1]])
+    xp_bad = ops.fq.encode([P[0], P[0]])
+    assert not eng.pairing_check(xp_bad, yp_bad, xq, yq)
+
+
+def test_pairing_infinity_mask(setup):
+    ops, ref, eng = setup
+    P = ref.g1_mul(2, ref.g1)
+    Q = ref.g2_mul(3, ref.g2)
+    xp = ops.fq.encode([P[0]])
+    yp = ops.fq.encode([P[1]])
+    xq = ops.fq.encode([[Q[0].c0, Q[0].c1]])
+    yq = ops.fq.encode([[Q[1].c0, Q[1].c1]])
+    mask = jnp.ones((1,), dtype=bool)
+    got = eng.pairing(xp, yp, xq, yq, inf_mask=mask)[0]
+    one = np.asarray(jnp.broadcast_to(eng.f12.ones(), got.shape))
+    assert (np.asarray(got) == one).all()

@@ -1,0 +1,154 @@
+"""R1CS builder + QAP conversion tests.
+
+Mirrors the reference test surface (SURVEY.md section 4): LC evaluation,
+constraint satisfaction, builder end-to-end, boolean gadget negative case,
+QAP shapes, evaluation at omega, quotient existence + random-point H.Z
+identity, invalid witness rejection."""
+
+import pytest
+
+from zkp_tpu.field import bls12_381
+from zkp_tpu.qap.qap import QAP, QAPError
+from zkp_tpu.r1cs.r1cs import (
+    R1CS, LinearCombination, Variable, ONE, R1CSError, AssignmentMismatch,
+    boolean_constraint, bit_decomposition, assign_bits,
+)
+
+CURVE = bls12_381()
+P = CURVE.r
+
+
+def mult_circuit():
+    """x * y = z with z public (reference examples/lib.rs:14-61)."""
+    r = R1CS(P, num_public=1)
+    z = r.public_variable(0)
+    x = r.allocate_variable()
+    y = r.allocate_variable()
+    r.enforce_multiplication(x, y, z)
+    return r, z, x, y
+
+
+def cubic_circuit():
+    """x^3 + x + 5 = 35 (BASELINE.json toy config). One public output (35)."""
+    r = R1CS(P, num_public=1)
+    out = r.public_variable(0)
+    x = r.allocate_variable()
+    x2 = r.allocate_variable()
+    x3 = r.allocate_variable()
+    r.enforce_multiplication(x, x, x2)        # x * x = x2
+    r.enforce_multiplication(x2, x, x3)       # x2 * x = x3
+    lhs = r.lc(x3, x).add_term(ONE, 5)        # x3 + x + 5
+    r.enforce_equal(lhs, r.lc(out))
+    return r
+
+
+def test_lc_evaluate():
+    lc = LinearCombination(P)
+    lc.add_term(Variable(0), 3)
+    lc.add_term(Variable(2), 5)
+    assert lc.evaluate([1, 10, 2]) == 13
+    lc.add_term(Variable(2), P - 5)  # cancels -> pruned
+    assert 2 not in lc.terms
+    assert lc.mul_scalar(4).evaluate([1, 0, 7]) == 12
+
+
+def test_constraint_satisfaction():
+    r, z, x, y = mult_circuit()
+    good = r.create_assignment([42], [6, 7])
+    bad = r.create_assignment([43], [6, 7])
+    assert r.is_satisfied(good)
+    assert not r.is_satisfied(bad)
+    assert r.first_unsatisfied(bad) == 0
+
+
+def test_builder_end_to_end():
+    r = cubic_circuit()
+    w = r.create_assignment([35], [3, 9, 27])
+    assert r.is_satisfied(w)
+    assert not r.is_satisfied(r.create_assignment([35], [4, 16, 64]))
+    with pytest.raises(AssignmentMismatch):
+        r.create_assignment([35], [3, 9])
+
+
+def test_boolean_gadget():
+    r = R1CS(P)
+    v = r.allocate_variable()
+    boolean_constraint(r, v)
+    assert r.is_satisfied([1, 0])
+    assert r.is_satisfied([1, 1])
+    assert not r.is_satisfied([1, 2])  # reference negative case value=2
+
+
+def test_bit_decomposition():
+    r = R1CS(P)
+    v = r.allocate_variable()
+    bits = bit_decomposition(r, v, 8)
+    assert len(bits) == 8
+    z = r.create_assignment([], [173] + assign_bits(173, 8))
+    assert r.is_satisfied(z)
+    z_bad = r.create_assignment([], [173] + assign_bits(172, 8))
+    assert not r.is_satisfied(z_bad)
+
+
+# ------------------------------------------------------------------- QAP
+
+
+def test_qap_shapes():
+    r = cubic_circuit()
+    qap = QAP(CURVE, r)
+    assert qap.n == 4  # 3 constraints -> next pow2
+    assert qap.num_variables == 5
+    assert qap.num_public == 1
+
+
+def test_qap_satisfaction_and_quotient():
+    r = cubic_circuit()
+    qap = QAP(CURVE, r)
+    f = CURVE.fr
+    z = f.encode(r.create_assignment([35], [3, 9, 27]))
+    assert qap.is_satisfied(z)
+    # H.Z identity at a random point off the domain
+    s = f.random_ints(80, 1, nonzero=True)[0]
+    assert qap.verify_evaluation(s, z)
+    # invalid witness: A.B - C does not vanish
+    z_bad = f.encode(r.create_assignment([35], [4, 16, 64]))
+    assert not qap.is_satisfied(z_bad)
+    assert not qap.verify_evaluation(s, z_bad)
+
+
+def test_qap_eval_vectors_match_host():
+    r = cubic_circuit()
+    qap = QAP(CURVE, r)
+    f = CURVE.fr
+    assignment = r.create_assignment([35], [3, 9, 27])
+    z = f.encode(assignment)
+    a_v, b_v, c_v = qap.eval_vectors(z)
+    a_host = [con.a.evaluate(assignment) for con in r.constraints] + [0]
+    b_host = [con.b.evaluate(assignment) for con in r.constraints] + [0]
+    c_host = [con.c.evaluate(assignment) for con in r.constraints] + [0]
+    assert [int(v) for v in f.decode(a_v)] == a_host
+    assert [int(v) for v in f.decode(b_v)] == b_host
+    assert [int(v) for v in f.decode(c_v)] == c_host
+
+
+def test_qap_evaluate_all_at_matches_dense():
+    """Sparse transposed-matvec setup path == dense per-variable polys."""
+    r = cubic_circuit()
+    qap = QAP(CURVE, r)
+    f = CURVE.fr
+    s = f.random_ints(81, 1, nonzero=True)[0]
+    a_s, b_s, c_s = (f.decode(x) for x in qap.evaluate_all_at(s))
+    for name, got in (("a", a_s), ("b", b_s), ("c", c_s)):
+        polys = f.decode(qap.variable_polys(name))  # (V, n) coeffs
+        for i in range(qap.num_variables):
+            direct = 0
+            for c in reversed(list(polys[i])):
+                direct = (direct * s + int(c)) % f.p
+            assert int(got[i]) == direct, (name, i)
+
+
+def test_qap_field_mismatch():
+    import zkp_tpu
+    r = R1CS(zkp_tpu.bn254().r, num_public=0)
+    with pytest.raises(QAPError):
+        QAP(CURVE, r)

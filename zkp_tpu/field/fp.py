@@ -134,6 +134,7 @@ class Fp:
         self.reduce_wide = jax.jit(self.reduce_wide)
         self.mont_reduce = jax.jit(self.mont_reduce)
         self._pow_jits: dict = {}
+        self.suffix_ndim = 1  # trailing structural dims: just the limb axis
 
     # ---------------------------------------------------------------- helpers
 

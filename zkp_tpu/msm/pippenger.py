@@ -1,0 +1,253 @@
+"""Pippenger multi-scalar multiplication, TPU-first (no random-access scatter).
+
+Replaces ark-ec's ``VariableBaseMSM`` (the reference's hottest kernel, used
+for pi_A / pi_B / pi_C / H in the prover, crates/groth16-core/src/lib.rs:275-300).
+
+The classical GPU bucket method relies on scatter-add, which SIMD/VPU
+hardware does not do.  The TPU formulation used here keeps every step either
+a sort, a static-slice shift, or a batched point operation:
+
+  per window (c bits):
+    1. digit extraction from 16-bit scalar limbs (static slicing),
+    2. ``lax.sort`` of (digit, index), one gather of the affine points,
+    3. *blocked run scan*: reshape the sorted stream to (B, N/B) and scan B
+       steps, each a (N/B)-lane batched mixed-add that either extends the
+       current run's accumulator or emits it -- exactly N point-adds total,
+       emitted values stream out as scan outputs (no scatter),
+    4. compaction of the <= min(N, 2^c) + N/B emitted partials by a second
+       sort, then a *shift-tree* segmented reduction: log2(S) rounds of
+       statically-shifted masked adds fold every bucket's partials into its
+       run head (scatter-free segmented reduce),
+    5. one unique-index scatter-set (pure data movement) into the bucket
+       array, then the standard weighted running-sum over bucket groups,
+  then windows combine MSB-first with c doublings each.
+
+Work: ~N + O(2^c) point additions per window -- the Pippenger optimum -- with
+all adds batched across VPU lanes.  Generic over the group backend, so the
+same code serves G1 (Fq) and G2 (Fq2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..curve.weierstrass import Weierstrass
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def default_window_bits(n: int) -> int:
+    """Pippenger window heuristic: c ~ log2(n) - 3, clamped to [2, 16]."""
+    if n <= 16:
+        return 2
+    return int(min(16, max(2, n.bit_length() - 4)))
+
+
+def extract_digits(scalar_limbs, w: int, c: int):
+    """Window-w digit of each scalar: bits [w*c, (w+1)*c) of 16-bit limbs."""
+    nl = scalar_limbs.shape[-1]
+    bitpos = w * c
+    li = bitpos // 16
+    off = bitpos % 16
+    d = scalar_limbs[..., li] >> off
+    have = 16 - off
+    while have < c and li + 1 < nl:
+        li += 1
+        d = d | (scalar_limbs[..., li] << have)
+        have += 16
+    return d & jnp.uint32((1 << c) - 1)
+
+
+def _blocked_run_scan(curve: Weierstrass, keys_t, pts_t, inf_t):
+    """keys_t: (B, G); pts_t coords shaped (B, G, ...).  Returns emitted
+    (keys (B+1, G), jacobian values, valid mask) -- every run's partial sums.
+    """
+    k = curve.k
+    B, G = keys_t.shape
+
+    def step(carry, xs):
+        ckey, cval = carry
+        key, (px, py), pinf = xs
+        same = (key == ckey)
+        extended = curve.add_mixed(cval, px, py, q_inf=pinf)
+        fresh = curve.from_affine(px, py, inf=pinf)
+        nval = tuple(k.select(same, e, f) for e, f in zip(extended, fresh))
+        emit_valid = (~same) & (ckey != SENTINEL)
+        return (key, nval), (ckey, cval, emit_valid)
+
+    init_key = jnp.full((G,), SENTINEL, dtype=jnp.uint32)
+    init_val = curve.infinity((G,))
+    (fk, fv), (ekeys, evals, evalid) = jax.lax.scan(
+        step, (init_key, init_val), (keys_t, pts_t, inf_t))
+    # append the trailing run
+    ekeys = jnp.concatenate([ekeys, fk[None]], axis=0)
+    evals = tuple(jnp.concatenate([a, b[None]], axis=0) for a, b in zip(evals, fv))
+    evalid = jnp.concatenate([evalid, jnp.ones((1, G), dtype=bool)], axis=0)
+    return ekeys, evals, evalid
+
+
+def _shift_tree_reduce(curve: Weierstrass, keys, vals):
+    """Segmented sum-to-head over a sorted key array (scatter-free).
+
+    keys: (S,) sorted; vals: jacobian (S, ...).  After log2(S) rounds of
+    statically-shifted masked adds, position ``start(key)`` holds the full
+    segment sum.  Returns (keys, vals) with non-head positions undefined.
+    """
+    S = keys.shape[0]
+    start = jnp.searchsorted(keys, keys, side="left").astype(jnp.uint32)
+    pos = jnp.arange(S, dtype=jnp.uint32)
+    rel = pos - start
+    d = 1
+    while d < S:
+        # element j (rel >= d, rel % 2d == d) folds into j - d
+        active_src = (rel >= d) & (rel % jnp.uint32(2 * d) == d)
+        active_tgt = jnp.concatenate([active_src[d:], jnp.zeros((d,), dtype=bool)])
+        shifted = tuple(jnp.concatenate([v[d:], v[:d]], axis=0) for v in vals)
+        merged = curve.add(vals, shifted)
+        vals = tuple(curve.k.select(active_tgt, m, v) for m, v in zip(merged, vals))
+        d *= 2
+    return vals, start
+
+
+def _weighted_bucket_sum(curve: Weierstrass, buckets, c: int):
+    """sum_k k * B_k over 2^c buckets via grouped running sums.
+
+    buckets: jacobian coords with leading axis 2^c (bucket 0 ignored:
+    weight 0).  O(2 * 2^c) adds, vectorized over bucket groups.
+    """
+    k = curve.k
+    nb = 1 << c
+    G = min(256, nb)      # groups (lanes)
+    m = nb // G           # buckets per group
+    Bv = tuple(v.reshape((G, m) + v.shape[1:]) for v in buckets)
+
+    def step(carry, xs):
+        racc, wacc = carry
+        bk = xs
+        racc = curve.add(racc, bk)
+        wacc = curve.add(wacc, racc)
+        return (racc, wacc), None
+
+    # iterate k = m-1 .. 1 (skip j=0: weight 0 within group)
+    xs = tuple(jnp.flip(v[:, 1:], axis=1).swapaxes(0, 1) for v in Bv)  # (m-1, G, ...)
+    init = (curve.infinity((G,)), curve.infinity((G,)))
+    (racc, wacc), _ = jax.lax.scan(step, init, xs)
+    # within-group totals T_g = racc + B_{g,0}; weighted W_g = wacc
+    T = curve.add(racc, tuple(v[:, 0] for v in Bv))
+    W = wacc
+    # total = sum_g W_g + m * sum_g g * T_g
+    W_total = curve.reduce_sum(W)
+    # sum_g g * T_g via bit decomposition of g
+    gbits = int(np.log2(G))
+    gT = None
+    g_idx = jnp.arange(G, dtype=jnp.uint32)
+    for b in range(gbits):
+        mask = ((g_idx >> b) & 1) != 0
+        masked = tuple(curve.k.select(mask, v, jnp.broadcast_to(i, v.shape))
+                       for v, i in zip(T, curve.infinity()))
+        s = curve.reduce_sum(masked)
+        for _ in range(b):
+            s = curve.double(s)
+        gT = s if gT is None else curve.add(gT, s)
+    if gT is not None:
+        for _ in range(int(np.log2(m)) if m > 1 else 0):
+            gT = curve.double(gT)
+        total = curve.add(W_total, gT)
+    else:
+        total = W_total
+    return total
+
+
+def _msm_impl(curve: Weierstrass, xs, ys, inf, scalar_limbs, c: int, block: int):
+    N = xs.shape[0]
+    nl = scalar_limbs.shape[-1]
+    nbits = 16 * nl
+    nwin = -(-nbits // c)
+    Npad = -(-N // block) * block
+
+    if Npad != N:
+        pad = Npad - N
+        xs = jnp.concatenate([xs, jnp.zeros((pad,) + xs.shape[1:], xs.dtype)], axis=0)
+        ys = jnp.concatenate([ys, jnp.zeros((pad,) + ys.shape[1:], ys.dtype)], axis=0)
+        inf = jnp.concatenate([inf, jnp.ones((pad,), dtype=bool)], axis=0)
+        scalar_limbs = jnp.concatenate(
+            [scalar_limbs, jnp.zeros((pad, nl), scalar_limbs.dtype)], axis=0)
+
+    G = Npad // block
+    S = min(Npad, 1 << c) + G  # compaction bound: runs + per-block partials
+
+    acc = curve.infinity()
+    for w in range(nwin - 1, -1, -1):
+        for _ in range(c if w != nwin - 1 else 0):
+            acc = curve.double(acc)
+        digits = extract_digits(scalar_limbs, w, c)
+        # zero digits and infinity inputs contribute nothing
+        digits = jnp.where(inf, jnp.uint32(0), digits)
+        keys, perm = jax.lax.sort_key_val(digits, jnp.arange(Npad, dtype=jnp.uint32))
+        sx = jnp.take(xs, perm, axis=0)
+        sy = jnp.take(ys, perm, axis=0)
+        sinf = jnp.take(inf, perm, axis=0) | (keys == 0)
+        # time-major blocked layout: flat index = g*block + t -> [t, g]
+        kt = keys.reshape(G, block).swapaxes(0, 1)
+        xt = sx.reshape((G, block) + sx.shape[1:]).swapaxes(0, 1)
+        yt = sy.reshape((G, block) + sy.shape[1:]).swapaxes(0, 1)
+        it = sinf.reshape(G, block).swapaxes(0, 1)
+        ekeys, evals, evalid = _blocked_run_scan(curve, kt, (xt, yt), it)
+        # flatten back to run order: emit[t, g] belongs to block g at time t
+        fkeys = ekeys.swapaxes(0, 1).reshape(-1)
+        fvals = tuple(v.swapaxes(0, 1).reshape((-1,) + v.shape[2:]) for v in evals)
+        fvalid = evalid.swapaxes(0, 1).reshape(-1)
+        # compact: dead slots get SENTINEL keys and sort to the end
+        ckeys = jnp.where(fvalid & (fkeys != 0), fkeys, SENTINEL)
+        ckeys, cperm = jax.lax.sort_key_val(ckeys, jnp.arange(ckeys.shape[0], dtype=jnp.uint32))
+        ckeys = ckeys[:S]
+        cvals = tuple(jnp.take(v, cperm[:S], axis=0) for v in fvals)
+        # kill dead payloads (so stray adds keep identity semantics)
+        dead = ckeys == SENTINEL
+        iX, iY, iZ = curve.infinity()
+        cvals = tuple(curve.k.select(dead, jnp.broadcast_to(i, v.shape), v)
+                      for v, i in zip(cvals, (iX, iY, iZ)))
+        # fold partial run sums into run heads
+        rvals, start = _shift_tree_reduce(curve, ckeys, cvals)
+        pos = jnp.arange(S, dtype=jnp.uint32)
+        is_head = (pos == start) & ~dead
+        # unique-index scatter-set into the bucket table (data movement only)
+        nb = 1 << c
+        tgt = jnp.where(is_head, ckeys, jnp.uint32(nb))
+        buckets = tuple(
+            jnp.zeros((nb + 1,) + v.shape[1:], v.dtype).at[tgt].set(v)[:nb]
+            for v in rvals)
+        # bucket 0 never contributes (weight 0); ensure it is identity anyway
+        buckets = tuple(b.at[0].set(jnp.broadcast_to(i, b[0].shape))
+                        for b, i in zip(buckets, (iX, iY, iZ)))
+        win_sum = _weighted_bucket_sum(curve, buckets, c)
+        acc = curve.add(acc, win_sum)
+    return acc
+
+
+class MSM:
+    """Jitted MSM entry point bound to one group (G1 or G2)."""
+
+    def __init__(self, curve: Weierstrass):
+        self.curve = curve
+        self._jit = jax.jit(functools.partial(_msm_impl, curve),
+                            static_argnames=("c", "block"))
+
+    def __call__(self, xs, ys, inf, scalar_limbs, c: int | None = None,
+                 block: int | None = None):
+        n = xs.shape[0]
+        if c is None:
+            c = default_window_bits(n)
+        if block is None:
+            block = int(min(512, max(8, n // 128)))
+        return self._jit(xs, ys, inf, scalar_limbs, c=int(c), block=int(block))
+
+    def naive(self, xs, ys, inf, scalar_limbs):
+        """Reference path: batched scalar-mul + tree reduce (tests only)."""
+        P = self.curve.from_affine(xs, ys, inf=inf)
+        prods = self.curve.scalar_mul(P, scalar_limbs)
+        return self.curve.reduce_sum(prods)
