@@ -1,18 +1,30 @@
 """Test config: force the CPU backend with 8 virtual devices so multi-chip
 sharding logic (mesh MSM/NTT, dryrun_multichip) is exercised without a pod.
-Must run before jax is imported anywhere."""
+
+Note: this environment's sitecustomize registers the axon TPU plugin and
+overrides JAX_PLATFORMS, so the env var alone is not enough -- we must also
+update jax.config after import.  Tests MUST run on CPU: the axon TPU is a
+single-client tunnel and concurrent test processes deadlock on it.
+"""
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 # persistent compile cache: the limb-arithmetic graphs are big; don't recompile
 # them on every pytest invocation
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zkp_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/zkp_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,137 @@
+"""End-to-end Groth16 tests (reference core/lib.rs:444-557 surface + more)."""
+
+import numpy as np
+import pytest
+
+from zkp_tpu.curve.curves import curve_ops
+from zkp_tpu.groth16.ceremony import Ceremony, Participant
+from zkp_tpu.groth16.groth16 import (
+    BatchVerifier, InvalidWitness, Prover, SetupError, SetupParams, Verifier,
+    Witness, generate_crs, proof_from_dict, proof_to_dict,
+)
+from zkp_tpu.qap.qap import QAP
+from zkp_tpu.examples import cubic_circuit, multiplication_circuit
+
+OPS = curve_ops("bls12_381")
+
+
+@pytest.fixture(scope="module")
+def crs_and_qap():
+    r1cs, assignment = cubic_circuit()
+    qap = QAP.from_r1cs(OPS.params, r1cs)
+    params = SetupParams.random(OPS.params, 42)
+    crs = generate_crs(OPS, qap, params)
+    return crs, qap, r1cs, assignment
+
+
+def test_setup_params_validation():
+    p = SetupParams(1, 2, 3, 4, 5)
+    p.validate(OPS.params.r)
+    with pytest.raises(SetupError):
+        SetupParams(0, 2, 3, 4, 5).validate(OPS.params.r)
+
+
+def test_prove_verify_roundtrip(crs_and_qap):
+    """reference test_simple_proof (core/lib.rs:444-481)."""
+    crs, qap, r1cs, assignment = crs_and_qap
+    witness = Witness(qap, assignment)
+    proof = Prover(OPS).prove(crs.pk, witness, seed=7)
+    assert Verifier(OPS).verify(crs.vk, proof, witness.public_inputs)
+
+
+def test_wrong_public_input_rejects(crs_and_qap):
+    """reference test_invalid_proof (core/lib.rs:483-511)."""
+    crs, qap, r1cs, assignment = crs_and_qap
+    witness = Witness(qap, assignment)
+    proof = Prover(OPS).prove(crs.pk, witness, seed=8)
+    assert not Verifier(OPS).verify(crs.vk, proof, [36])
+
+
+def test_tampered_proof_rejects(crs_and_qap):
+    crs, qap, r1cs, assignment = crs_and_qap
+    witness = Witness(qap, assignment)
+    proof = Prover(OPS).prove(crs.pk, witness, seed=9)
+    from zkp_tpu.ref.pyref import CurveRef
+    ref = CurveRef(OPS.params)
+    bad_a = ref.g1_add(proof.a, ref.g1)  # nudge A by the generator
+    from zkp_tpu.groth16.groth16 import Proof
+    tampered = Proof(a=bad_a, b=proof.b, c=proof.c)
+    assert not Verifier(OPS).verify(crs.vk, tampered, witness.public_inputs)
+
+
+def test_invalid_witness_raises(crs_and_qap):
+    crs, qap, r1cs, assignment = crs_and_qap
+    bad = list(assignment)
+    bad[2] = 4  # x=4 does not satisfy x^3+x+5=35
+    with pytest.raises(InvalidWitness):
+        Prover(OPS).prove(crs.pk, Witness(qap, bad), seed=10)
+    with pytest.raises(InvalidWitness):
+        Witness(qap, assignment[:-1])
+    z0 = list(assignment)
+    z0[0] = 2
+    with pytest.raises(InvalidWitness):
+        Witness(qap, z0)
+
+
+def test_proof_determinism(crs_and_qap):
+    """Same seed => identical proof bytes (reference uses thread_rng and is
+    nondeterministic, SURVEY.md 2.2 rand row)."""
+    crs, qap, r1cs, assignment = crs_and_qap
+    w = Witness(qap, assignment)
+    p1 = Prover(OPS).prove(crs.pk, w, seed=11)
+    p2 = Prover(OPS).prove(crs.pk, w, seed=11)
+    assert proof_to_dict(p1) == proof_to_dict(p2)
+    p3 = Prover(OPS).prove(crs.pk, w, seed=12)
+    assert proof_to_dict(p1) != proof_to_dict(p3)
+    assert Verifier(OPS).verify(crs.vk, p3, w.public_inputs)
+
+
+def test_proof_json_roundtrip(crs_and_qap):
+    crs, qap, r1cs, assignment = crs_and_qap
+    w = Witness(qap, assignment)
+    proof = Prover(OPS).prove(crs.pk, w, seed=13)
+    d = proof_to_dict(proof)
+    back = proof_from_dict(d, "bls12_381")
+    assert back.a == proof.a and back.b == proof.b and back.c == proof.c
+    assert Verifier(OPS).verify(crs.vk, back, w.public_inputs)
+
+
+def test_batch_verification(crs_and_qap):
+    """reference test_batch_verification (core/lib.rs:513-557), sound folding."""
+    crs, qap, r1cs, assignment = crs_and_qap
+    w = Witness(qap, assignment)
+    prover = Prover(OPS)
+    proofs = [prover.prove(crs.pk, w, seed=20 + i) for i in range(3)]
+    pubs = [w.public_inputs] * 3
+    bv = BatchVerifier(OPS)
+    assert bv.verify_batch(crs.vk, proofs, pubs, seed=99)
+    # one bad public input fails the whole batch
+    assert not bv.verify_batch(crs.vk, proofs, [w.public_inputs, [36], w.public_inputs], seed=99)
+
+
+def test_second_circuit_roundtrip():
+    r1cs, assignment = multiplication_circuit()
+    qap = QAP.from_r1cs(OPS.params, r1cs)
+    crs = generate_crs(OPS, qap, SetupParams.random(OPS.params, 5))
+    w = Witness(qap, assignment)
+    proof = Prover(OPS).prove(crs.pk, w, seed=6)
+    assert Verifier(OPS).verify(crs.vk, proof, [42])
+    assert not Verifier(OPS).verify(crs.vk, proof, [41])
+
+
+def test_ceremony():
+    """reference 3-participant accumulate/verify/finalize (setup/lib.rs:403-418)."""
+    cur = OPS.params
+    cer = Ceremony(cur)
+    for i in range(3):
+        cer.contribute(Participant.random(cur, f"p{i}", seed=100 + i))
+    assert cer.verify()
+    params = cer.finalize()
+    params.validate(cur.r)
+    # deterministic given seeds
+    cer2 = Ceremony(cur)
+    for i in range(3):
+        cer2.contribute(Participant.random(cur, f"p{i}", seed=100 + i))
+    assert cer2.finalize() == params
+    with pytest.raises(SetupError):
+        Ceremony(cur).finalize()

@@ -77,6 +77,21 @@ class CurveOps:
         """Host ints -> (N, L) standard-form limb scalars for scalar_mul/MSM."""
         return self.fr.encode([int(v) % self.fr.p for v in ints], mont=False)
 
+    def g1_fixed_base(self):
+        """Cached window table over the G1 generator (setup fast path)."""
+        if not hasattr(self, "_g1_table"):
+            from .fixed_base import FixedBaseTable
+            self._g1_table = FixedBaseTable(self.g1, self.g1_gen_affine,
+                                            c=8, nbits=16 * self.fr.n)
+        return self._g1_table
+
+    def g2_fixed_base(self):
+        if not hasattr(self, "_g2_table"):
+            from .fixed_base import FixedBaseTable
+            self._g2_table = FixedBaseTable(self.g2, self.g2_gen_affine,
+                                            c=8, nbits=16 * self.fr.n)
+        return self._g2_table
+
 
 @functools.lru_cache(maxsize=4)
 def curve_ops(name: str) -> CurveOps:

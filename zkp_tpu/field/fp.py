@@ -214,6 +214,10 @@ class Fp:
     def _select(self, cond, x, y):
         return jnp.where(cond[..., None] != 0, x, y)
 
+    # public alias: the duck-typed field-backend surface used by the curve
+    # kernels (tower classes define their own broadcast-aware select)
+    select = _select
+
     # ---------------------------------------------------------- field add/sub
 
     def add(self, a, b):

@@ -154,25 +154,15 @@ def generate_crs(ops: CurveOps, qap: QAP, params: SetupParams) -> CRS:
     def std(x_mont):
         return fr.from_mont(x_mont)
 
-    g1x, g1y = ops.g1_gen_affine
-    g2x, g2y = ops.g2_gen_affine
-
-    def g1_base(batch):
-        return ops.g1.from_affine(jnp.broadcast_to(g1x, (batch,) + g1x.shape),
-                                  jnp.broadcast_to(g1y, (batch,) + g1y.shape))
-
-    def g2_base(batch):
-        return ops.g2.from_affine(jnp.broadcast_to(g2x, (batch,) + g2x.shape),
-                                  jnp.broadcast_to(g2y, (batch,) + g2y.shape))
-
     # one big G1 batch: [alpha, beta, delta] + A + B + L(priv) + IC(pub) + H
+    # fixed-base window tables replace per-element double-and-add
     consts = fr.encode([a, b, d], mont=False)
     scal_g1 = jnp.concatenate([
         consts, std(a_s), std(b_s),
         std(l_scal[npub + 1:]), std(ic_scal[: npub + 1]),
         fr.encode(h_ints, mont=False) if h_ints else fr.zeros((0,)),
     ], axis=0)
-    P1 = ops.g1.scalar_mul(g1_base(scal_g1.shape[0]), scal_g1)
+    P1 = ops.g1_fixed_base().scalar_mul(scal_g1)
     x1, y1, i1 = _affine_arrays(ops.g1, P1)
 
     V = qap.num_variables
@@ -189,7 +179,7 @@ def generate_crs(ops: CurveOps, qap: QAP, params: SetupParams) -> CRS:
 
     # G2 batch: [beta, gamma, delta] + B
     scal_g2 = jnp.concatenate([fr.encode([b, g, d], mont=False), std(b_s)], axis=0)
-    P2 = ops.g2.scalar_mul(g2_base(scal_g2.shape[0]), scal_g2)
+    P2 = ops.g2_fixed_base().scalar_mul(scal_g2)
     x2, y2, i2 = _affine_arrays(ops.g2, P2)
     beta_g2 = tuple(t[0] for t in (x2, y2, i2))
     gamma_g2 = tuple(t[1] for t in (x2, y2, i2))
@@ -285,12 +275,15 @@ class Prover:
         self.msm_g2 = MSM(ops.g2)
 
     def prove(self, pk: ProvingKey, witness: Witness, seed: int,
-              skip_validation: bool = False) -> Proof:
+              skip_validation: bool = False, timer=None) -> Proof:
+        from ..utils.profiling import StageTimer
+        tm = timer if timer is not None else StageTimer(enabled=False)
         ops = self.ops
         fr = ops.fr
         qap = pk.qap
-        if not skip_validation:
-            witness.validate()
+        with tm.stage("validate_witness"):
+            if not skip_validation:
+                witness.validate()
         z = witness.device()
         z_std = fr.from_mont(z)
         npub = qap.num_public
@@ -299,43 +292,56 @@ class Prover:
         rs = fr.encode([r_blind, s_blind, r_blind * s_blind % fr.p], mont=False)
 
         # H coefficients (degree <= n-2)
-        h = qap.compute_h(z)
-        h_std = fr.from_mont(h)[: qap.n - 1]
+        with tm.stage("quotient_ntt") as hh:
+            h = qap.compute_h(z)
+            h_std = fr.from_mont(h)[: qap.n - 1]
+            hh["out"] = h_std
 
         g1 = ops.g1
         g2 = ops.g2
 
         # pi_A = alpha + sum w_i [A_i(s)] + r delta
-        A_msm = self.msm_g1(*pk.a_g1, z_std)
+        with tm.stage("msm_a_g1") as hh:
+            A_msm = self.msm_g1(*pk.a_g1, z_std)
+            hh["out"] = A_msm
         delta_jac = g1.from_affine(*pk.delta_g1[:2], inf=pk.delta_g1[2])
         rdelta = g1.scalar_mul(delta_jac, rs[0])
         piA = g1.add(g1.add(A_msm, g1.from_affine(*pk.alpha_g1[:2], inf=pk.alpha_g1[2])), rdelta)
 
         # pi_B (G2) and its G1 shadow
-        B2_msm = self.msm_g2(*pk.b_g2, z_std)
+        with tm.stage("msm_b_g2") as hh:
+            B2_msm = self.msm_g2(*pk.b_g2, z_std)
+            hh["out"] = B2_msm
         delta2_jac = g2.from_affine(*pk.delta_g2[:2], inf=pk.delta_g2[2])
         sdelta2 = g2.scalar_mul(delta2_jac, rs[1])
         piB = g2.add(g2.add(B2_msm, g2.from_affine(*pk.beta_g2[:2], inf=pk.beta_g2[2])), sdelta2)
 
-        B1_msm = self.msm_g1(*pk.b_g1, z_std)
+        with tm.stage("msm_b_g1") as hh:
+            B1_msm = self.msm_g1(*pk.b_g1, z_std)
+            hh["out"] = B1_msm
         sdelta1 = g1.scalar_mul(delta_jac, rs[1])
         piB1 = g1.add(g1.add(B1_msm, g1.from_affine(*pk.beta_g1[:2], inf=pk.beta_g1[2])), sdelta1)
 
         # pi_C = L-msm(priv) + H-msm + s piA + r piB1 - rs delta
-        L_msm = self.msm_g1(*pk.l_g1, z_std[npub + 1:])
-        H_msm = self.msm_g1(*pk.h_g1, h_std)
-        piA_aff = g1.to_affine(tuple(t[None] for t in piA))
-        piB1_aff = g1.to_affine(tuple(t[None] for t in piB1))
-        s_piA = g1.scalar_mul(g1.from_affine(piA_aff[0][0], piA_aff[1][0], inf=piA_aff[2][0]), rs[1])
-        r_piB1 = g1.scalar_mul(g1.from_affine(piB1_aff[0][0], piB1_aff[1][0], inf=piB1_aff[2][0]), rs[0])
-        rsdelta = g1.scalar_mul(delta_jac, rs[2])
-        piC = g1.add(g1.add(g1.add(L_msm, H_msm), g1.add(s_piA, r_piB1)), g1.neg(rsdelta))
-
-        return Proof(
-            a=_g1_to_ints(ops, piA),
-            b=_g2_to_ints(ops, piB),
-            c=_g1_to_ints(ops, piC),
-        )
+        with tm.stage("msm_l_g1") as hh:
+            L_msm = self.msm_g1(*pk.l_g1, z_std[npub + 1:])
+            hh["out"] = L_msm
+        with tm.stage("msm_h_g1") as hh:
+            H_msm = self.msm_g1(*pk.h_g1, h_std)
+            hh["out"] = H_msm
+        with tm.stage("combine_and_affine") as hh:
+            piA_aff = g1.to_affine(tuple(t[None] for t in piA))
+            piB1_aff = g1.to_affine(tuple(t[None] for t in piB1))
+            s_piA = g1.scalar_mul(g1.from_affine(piA_aff[0][0], piA_aff[1][0], inf=piA_aff[2][0]), rs[1])
+            r_piB1 = g1.scalar_mul(g1.from_affine(piB1_aff[0][0], piB1_aff[1][0], inf=piB1_aff[2][0]), rs[0])
+            rsdelta = g1.scalar_mul(delta_jac, rs[2])
+            piC = g1.add(g1.add(g1.add(L_msm, H_msm), g1.add(s_piA, r_piB1)), g1.neg(rsdelta))
+            proof = Proof(
+                a=_g1_to_ints(ops, piA),
+                b=_g2_to_ints(ops, piB),
+                c=_g1_to_ints(ops, piC),
+            )
+        return proof
 
 
 def _g1_to_ints(ops, P):

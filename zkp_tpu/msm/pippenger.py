@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..curve.weierstrass import Weierstrass
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+SENTINEL = np.uint32(0xFFFFFFFF)  # plain numpy: no device work at import time
 
 
 def default_window_bits(n: int) -> int:

@@ -1,0 +1,164 @@
+"""Multi-chip sharding: mesh MSM and distributed NTT via shard_map.
+
+The reference's only parallelism is rayon shared-memory threads
+(SURVEY.md 2.3); there is no distributed backend at all.  Here the two hot
+kernels scale across a ``jax.sharding.Mesh``:
+
+  - ``sharded_msm``: points/scalars sharded over the ``points`` mesh axis
+    (the DP analog); each device runs the full local Pippenger, partial
+    results are all-gathered (one Jacobian point per device, a few hundred
+    bytes over ICI) and tree-reduced.  Communication is O(devices), compute
+    is N/devices -> near-linear scaling by construction.
+  - ``DistNTT``: the four-step NTT. coefficients live as an (N1, N2) matrix
+    sharded over columns; step 1 (length-N1 column NTTs) is local, the
+    twiddle multiply is local against a same-sharded table, one
+    ``all_to_all`` re-shards rows<->columns (the butterfly-stage exchange
+    over ICI called out in BASELINE.json), and step 3 (length-N2 row NTTs)
+    is local.  This is the SP/sequence-parallel analog (SURVEY.md section 5
+    "long-context").
+
+Everything works on an 8-virtual-device CPU mesh for tests
+(XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..curve.weierstrass import Weierstrass
+from ..field.fp import ints_to_limbs
+from ..msm.pippenger import _msm_impl, default_window_bits
+from ..ntt.ntt import Domain, domain_for
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_msm(curve: Weierstrass, mesh: Mesh, xs, ys, inf, scalar_limbs,
+                c: int | None = None, block: int | None = None,
+                axis: str | None = None):
+    """MSM with points sharded across the mesh; result replicated."""
+    axis = axis or mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    n = xs.shape[0]
+    n_local = -(-n // ndev)
+    if c is None:
+        c = default_window_bits(n_local)
+    if block is None:
+        block = int(min(512, max(8, n_local // 128)))
+    pad = n_local * ndev - n
+    if pad:
+        xs = jnp.concatenate([xs, jnp.zeros((pad,) + xs.shape[1:], xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros((pad,) + ys.shape[1:], ys.dtype)])
+        inf = jnp.concatenate([inf, jnp.ones((pad,), bool)])
+        scalar_limbs = jnp.concatenate(
+            [scalar_limbs, jnp.zeros((pad, scalar_limbs.shape[-1]), scalar_limbs.dtype)])
+
+    pspec = P(axis)
+    out_spec = P()
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(pspec, pspec, pspec, pspec), out_specs=out_spec)
+    def _local(xs, ys, inf, sc):
+        part = _msm_impl(curve, xs, ys, inf, sc, c=c, block=block)
+        gathered = tuple(
+            jax.lax.all_gather(coord, axis) for coord in part)  # (ndev, ...)
+        return curve.reduce_sum(gathered)
+
+    return jax.jit(_local)(xs, ys, inf, scalar_limbs)
+
+
+class DistNTT:
+    """Four-step distributed NTT over a mesh axis (coefficient sharding)."""
+
+    def __init__(self, curve_params, log_n: int, mesh: Mesh, axis: str | None = None):
+        self.mesh = mesh
+        self.axis = axis or mesh.axis_names[0]
+        ndev = mesh.shape[self.axis]
+        self.log_n = log_n
+        self.n = 1 << log_n
+        log_n1 = log_n // 2
+        self.n1 = 1 << log_n1
+        self.n2 = self.n // self.n1
+        if self.n2 % ndev or self.n1 % ndev:
+            raise ValueError(f"need device count dividing both {self.n1} and {self.n2}")
+        fr = curve_params.fr
+        self.fr = fr
+        self.dom1: Domain = domain_for(curve_params, log_n1)
+        self.dom2: Domain = domain_for(curve_params, log_n - log_n1)
+        omega = curve_params.domain_root(log_n)
+
+        # twiddle matrix T[j1, k2] = omega^(j1*k2), sharded over rows (j1)
+        p, R = fr.p, fr.R_int
+        rows = []
+        wj1 = 1
+        for _ in range(self.n1):
+            row = []
+            acc = 1
+            for _ in range(self.n2):
+                row.append(acc * R % p)
+                acc = acc * wj1 % p
+            rows.append(row)
+            wj1 = wj1 * omega % p
+        flat = [v for row in rows for v in row]
+        self.twiddle = jnp.asarray(
+            ints_to_limbs(flat, fr.n).reshape(self.n1, self.n2, fr.n))
+
+        ax = self.axis
+
+        def _impl(x, tw):
+            # x: local (n1/D, n2, L) — full rows of A[j1, j2]
+            f = self.fr
+            x = self.dom2.ntt(x)                 # step 1: length-n2 NTT per row
+            x = f.mul(x, tw)                     # step 2: twiddle w^(j1*k2)
+            # step 3: reshard rows -> columns over ICI, then length-n1 NTTs
+            x = jax.lax.all_to_all(x, ax, split_axis=1, concat_axis=0, tiled=True)
+            xt = jnp.swapaxes(x, 0, 1)           # (n2/D, n1, L)
+            xt = self.dom1.ntt(xt)
+            return jnp.swapaxes(xt, 0, 1)        # C[k1, k2] local (n1, n2/D, L)
+
+        self._impl = _impl
+
+    def ntt(self, coeffs):
+        """coeffs: (N, L) natural order -> evals (N, L) natural order.
+
+        Input element j maps to matrix cell A[j % n1, j // n1]; output cell
+        C[k1, k2] is X[n2*k1 + k2] so the returned flat layout is natural
+        order.
+        """
+        fr = self.fr
+        x = coeffs.reshape(self.n2, self.n1, fr.n).swapaxes(0, 1)  # A[j1, j2]
+        ax = self.axis
+
+        @functools.partial(shard_map, mesh=self.mesh,
+                           in_specs=(P(ax, None), P(ax, None)),
+                           out_specs=P(None, ax))
+        def run(xl, twl):
+            return self._impl(xl, twl)
+
+        out = jax.jit(run)(x, self.twiddle)         # C[k1, k2] sharded by k2
+        return out.reshape(self.n, fr.n)
+
+
+def batched_intt_sharded(curve_params, log_n: int, mesh: Mesh, batch_arr,
+                         axis: str | None = None):
+    """Embarrassingly parallel per-polynomial iNTTs sharded over the batch
+    axis (the per-variable interpolation workload of QAP::from_r1cs)."""
+    axis = axis or mesh.axis_names[0]
+    dom = domain_for(curve_params, log_n)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    def run(x):
+        return dom.intt(x)
+
+    return jax.jit(run)(batch_arr)

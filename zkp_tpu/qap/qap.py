@@ -40,35 +40,46 @@ MAX_LC_TERMS = 1024  # per-row sparsity bound keeping uint32 lazy sums exact
 class QAP:
     """Sparse evaluation-form QAP for a fixed R1CS."""
 
-    def __init__(self, curve: CurveParams, r1cs: R1CS):
-        if r1cs.p != curve.r:
-            raise QAPError("R1CS field does not match curve scalar field")
+    def __init__(self, curve: CurveParams, r1cs_or_coo, num_variables=None,
+                 num_public=None, num_constraints=None):
         self.curve = curve
         self.fr = curve.fr
-        self.num_variables = r1cs.num_variables
-        self.num_public = r1cs.num_public
-        self.num_constraints = r1cs.num_constraints
+        if isinstance(r1cs_or_coo, R1CS):
+            r1cs = r1cs_or_coo
+            if r1cs.p != curve.r:
+                raise QAPError("R1CS field does not match curve scalar field")
+            self.num_variables = r1cs.num_variables
+            self.num_public = r1cs.num_public
+            self.num_constraints = r1cs.num_constraints
+            coo = {name: (rows, cols, self.fr.encode(coeffs) if coeffs
+                          else jnp.zeros((0, self.fr.n), jnp.uint32))
+                   for name, (rows, cols, coeffs) in r1cs.to_coo().items()}
+        else:
+            coo = r1cs_or_coo  # name -> (rows, cols, mont limb coeffs)
+            self.num_variables = int(num_variables)
+            self.num_public = int(num_public)
+            self.num_constraints = int(num_constraints)
         log_n = max(1, (max(1, self.num_constraints) - 1).bit_length())
         if (1 << log_n) < self.num_constraints:
             log_n += 1
         self.domain: Domain = domain_for(curve, log_n)
         self.n = self.domain.n
 
-        coo = r1cs.to_coo()
         self._mats = {}
         for name, (rows, cols, coeffs) in coo.items():
-            counts = np.bincount(rows, minlength=1)
+            counts = np.bincount(np.asarray(rows), minlength=1)
             if counts.size and counts.max() > MAX_LC_TERMS:
                 raise QAPError(f"constraint with {counts.max()} terms exceeds "
                                f"device sparsity bound {MAX_LC_TERMS}")
-            self._mats[name] = (
-                jnp.asarray(rows),
-                jnp.asarray(cols),
-                self.fr.encode(coeffs) if coeffs else jnp.zeros((0, self.fr.n), jnp.uint32),
-            )
+            self._mats[name] = (jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(coeffs))
         self._spmv = jax.jit(self._spmv_impl, static_argnames=("name", "by_col"))
         self._h_jit = jax.jit(self._compute_h_impl)
         self._eval_jit = jax.jit(self._eval_vectors_impl)
+
+    @classmethod
+    def from_r1cs(cls, curve: CurveParams, r1cs: R1CS) -> "QAP":
+        """(reference QAP::from_r1cs, groth16-qap/src/lib.rs:95-187)."""
+        return cls(curve, r1cs)
 
     # --------------------------------------------------------- sparse matvec
 

@@ -230,11 +230,21 @@ class R1CS:
         return [1] + [x % self.p for x in public_inputs] + [x % self.p for x in witness]
 
     def is_satisfied(self, z: List[int]) -> bool:
-        """Size + z[0]=1 + per-constraint check (reference :296-316)."""
+        """Size + z[0]=1 + per-constraint check (reference :296-316).
+
+        Large systems route through the native host library (C++ Montgomery
+        spmv, zkp_tpu.native.host) when available."""
         if len(z) != self.num_variables:
             return False
         if z[0] % self.p != 1:
             return False
+        if self.num_constraints > 4096 and self.p.bit_length() <= 256:
+            try:
+                from ..native.host import available, fast_r1cs_satisfied
+                if available():
+                    return fast_r1cs_satisfied(self, z)
+            except Exception:
+                pass
         return all(con.is_satisfied(z) for con in self.constraints)
 
     def first_unsatisfied(self, z: List[int]) -> Optional[int]:
