@@ -179,33 +179,56 @@ class Fp:
 
     # ------------------------------------------------------------- carry ops
 
-    def _carry(self, cols, n_out):
+    def _carry(self, cols, n_out, carry_in_one: bool = False):
         """Propagate carries over the last axis.  ``cols`` entries < 2^26.
 
-        Returns (limbs (..., n_out) each < 2^16, carry_out).
+        Log-depth: one local push of the multi-bit carries, then Kogge-Stone
+        generate/propagate prefix for the remaining 1-bit ripple.  An
+        unrolled ripple chain is O(n) sequential HLO and blows up XLA compile
+        time once inlined into curve formulas; this is ~O(log n).
+
+        Returns (limbs (..., n_out) each < 2^16, carry_out).  carry_out is
+        exact (sum of everything overflowing limb n_out-1); all callers have
+        bounds making it fit uint32.
         """
         m = cols.shape[-1]
-        outs = []
-        c = jnp.zeros(cols.shape[:-1], dtype=jnp.uint32)
-        for k in range(m):
-            t = cols[..., k] + c
-            outs.append(t & MASK)
-            c = t >> LIMB_BITS
-        while len(outs) < n_out:
-            outs.append(c & MASK)
-            c = c >> LIMB_BITS
-        return jnp.stack(outs[:n_out], axis=-1), c
+        if m < n_out:
+            cols = self._pad_last(cols, 0, n_out - m)
+            m = n_out
+        # phase 1: push the multi-bit part of each column one limb up
+        hi = cols >> LIMB_BITS                      # < 2^10
+        s = (cols & MASK) + self._pad_last(hi[..., :-1], 1, 0)  # < 2^16 + 2^10
+        top = hi[..., -1]                           # spill past the last limb
+        if carry_in_one:
+            one = jnp.zeros(s.shape[:-1] + (1,), dtype=jnp.uint32) + 1
+            s = s + self._pad_last(one, 0, m - 1)
+        # phase 2: 1-bit carries via generate/propagate prefix (Kogge-Stone)
+        g = s >> LIMB_BITS                          # in {0, 1}
+        p = ((s & MASK) == MASK).astype(jnp.uint32)
+        d = 1
+        while d < m:
+            gs = self._pad_last(g[..., :-d], d, 0) if d < m else jnp.zeros_like(g)
+            ps = self._pad_last(p[..., :-d], d, 0) if d < m else jnp.zeros_like(p)
+            g = g | (p & gs)
+            p = p & ps
+            d *= 2
+        c_in = self._pad_last(g[..., :-1], 1, 0)    # carry INTO limb k
+        out = (s + c_in) & MASK
+        c_out = (s[..., -1] + c_in[..., -1]) >> LIMB_BITS
+        if out.shape[-1] > n_out:
+            out = out[..., :n_out]  # callers never rely on truncated carries
+        return out, top + c_out
 
     def _sub_limbs(self, a, b):
-        """(a - b) over n limbs with borrow chain -> (diff, borrow in {0,1})."""
-        n = a.shape[-1]
-        outs = []
-        brw = jnp.zeros(jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]), dtype=jnp.uint32)
-        for k in range(n):
-            t = a[..., k] + (1 << LIMB_BITS) - b[..., k] - brw
-            outs.append(t & MASK)
-            brw = 1 - (t >> LIMB_BITS)
-        return jnp.stack(outs, axis=-1), brw
+        """(a - b) over n limbs with borrow -> (diff, borrow in {0,1}).
+
+        Computed as a + (2^16-1 - b) + 1 with the log-depth carry network;
+        borrow = 1 - carry_out.
+        """
+        bb = jnp.broadcast_to(b, jnp.broadcast_shapes(a.shape, b.shape))
+        aa = jnp.broadcast_to(a, bb.shape)
+        out, c = self._carry(aa + (MASK - bb), aa.shape[-1], carry_in_one=True)
+        return out, 1 - c
 
     def _add_limbs(self, a, b):
         s, c = self._carry(a + b, a.shape[-1])
@@ -245,28 +268,50 @@ class Fp:
 
     # --------------------------------------------------------------- multiply
 
+    @staticmethod
+    def _pad_last(x, lo: int, hi: int):
+        """Zero-pad the last axis (static widths) -- fusion-friendly shift."""
+        if lo == 0 and hi == 0:
+            return x
+        cfg = [(0, 0, 0)] * (x.ndim - 1) + [(lo, hi, 0)]
+        return jax.lax.pad(x, jnp.uint32(0), cfg)
+
+    @staticmethod
+    def _skew_sum(pp, m: int):
+        """Anti-diagonal sums of pp (..., n, m): out[k] = sum_{i+j=k} pp[i, j].
+
+        The pad/flatten/reshape skew trick: after right-padding each row to
+        m+n and reinterpreting the flat buffer with row stride m+n-1, row i
+        appears shifted by i columns, so a single sum over the row axis
+        yields all n+m-1 diagonal sums.  O(1) HLO ops instead of O(n)
+        shifted adds -- XLA compile time on this host is ~linear in op count.
+        """
+        n = pp.shape[-2]
+        batch = pp.shape[:-2]
+        padded = jax.lax.pad(pp, jnp.uint32(0),
+                             [(0, 0, 0)] * len(batch) + [(0, 0, 0), (0, n, 0)])
+        flat = padded.reshape(batch + (n * (m + n),))
+        flat = flat[..., : n * (m + n - 1)]
+        skew = flat.reshape(batch + (n, m + n - 1))
+        return jnp.sum(skew, axis=-2, dtype=jnp.uint32)
+
     def _mul_wide(self, a, b):
         """Full 2n-limb product (carried). Inputs (..., n) reduced limbs."""
         n = self.n
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        cols = jnp.zeros(shape + (2 * n,), dtype=jnp.uint32)
-        for i in range(n):
-            pprod = a[..., i : i + 1] * b  # exact: < 2^32
-            cols = cols.at[..., i : i + n].add(pprod & MASK)
-            cols = cols.at[..., i + 1 : i + n + 1].add(pprod >> LIMB_BITS)
+        pp = a[..., :, None] * b[..., None, :]        # (..., n, n), exact u32
+        lo = self._skew_sum(pp & MASK, n)             # (..., 2n-1)
+        hi = self._skew_sum(pp >> LIMB_BITS, n)       # contributes at k+1
+        cols = self._pad_last(lo, 0, 1) + self._pad_last(hi, 1, 0)
         limbs, _ = self._carry(cols, 2 * n)
         return limbs
 
     def _mul_low(self, a, b):
         """Low n limbs of a*b (i.e. mod R), carried."""
         n = self.n
-        shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-        cols = jnp.zeros(shape + (n,), dtype=jnp.uint32)
-        for i in range(n):
-            pprod = a[..., i : i + 1] * b[..., : n - i]
-            cols = cols.at[..., i:n].add(pprod & MASK)
-            if i + 1 < n:
-                cols = cols.at[..., i + 1 : n].add((pprod >> LIMB_BITS)[..., : n - i - 1])
+        pp = a[..., :, None] * b[..., None, :]
+        lo = self._skew_sum(pp & MASK, n)[..., :n]
+        hi = self._skew_sum(pp >> LIMB_BITS, n)[..., : n - 1]
+        cols = lo + self._pad_last(hi, 1, 0)
         limbs, _ = self._carry(cols, n)
         return limbs
 
@@ -331,19 +376,39 @@ class Fp:
     def batch_inv(self, a):
         """Montgomery-trick batched inversion along axis 0; 0 -> 0.
 
-        Uses two associative scans of field muls + one Fermat inversion,
-        ~6 muls/element instead of ~380.
+        Blocked two-pass scheme: reshape to (B, G) lanes, run a forward
+        prefix-product scan and a backward unwinding scan (bodies compile
+        once -- ~2 muls each), with ONE lane-batched Fermat inversion of the
+        per-lane totals.  ~3 muls/element amortized instead of ~570.
         """
-        if a.shape[0] == 0:
+        N = a.shape[0]
+        if N == 0:
             return a
-        safe = jnp.where(self.is_zero(a)[..., None], jnp.broadcast_to(self.ones(), a.shape), a)
-        prefix = jax.lax.associative_scan(self.mul, safe, axis=0)
-        suffix = jax.lax.associative_scan(self.mul, safe[::-1], axis=0)[::-1]
-        total_inv = self.inv(prefix[-1])
-        left = jnp.concatenate([jnp.broadcast_to(self.ones(), (1,) + a.shape[1:]), prefix[:-1]], axis=0)
-        right = jnp.concatenate([suffix[1:], jnp.broadcast_to(self.ones(), (1,) + a.shape[1:])], axis=0)
-        out = self.mul(self.mul(left, right), total_inv)
-        return self._select(self.is_zero(a), jnp.zeros_like(a), out)
+        zero_mask = self.is_zero(a)
+        safe = self._select(zero_mask, jnp.broadcast_to(self.ones(), a.shape), a)
+        G = min(N, 4096)
+        B = -(-N // G)
+        pad = B * G - N
+        if pad:
+            safe = jnp.concatenate(
+                [safe, jnp.broadcast_to(self.ones(), (pad,) + a.shape[1:])], axis=0)
+        x = safe.reshape((B, G) + a.shape[1:])
+
+        def fwd(carry, xi):
+            nxt = self.mul(carry, xi)
+            return nxt, carry          # carry = product of earlier rows
+        ones = jnp.broadcast_to(self.ones(), (G,) + a.shape[1:])
+        total, before = jax.lax.scan(fwd, ones, x)   # before[i] = prod x[<i]
+        tinv = self.inv(total)                       # (G, ...) lane-batched Fermat
+
+        def bwd(carry, xs):
+            xi, bi = xs
+            inv_i = self.mul(carry, bi)              # carry = inv(prod x[<=i])
+            prev = self.mul(carry, xi)               # -> inv(prod x[<i]) ... reversed
+            return prev, inv_i
+        _, inv_rev = jax.lax.scan(bwd, tinv, (x[::-1], before[::-1]))
+        out = inv_rev[::-1].reshape((B * G,) + a.shape[1:])[:N]
+        return self._select(zero_mask, jnp.zeros_like(a), out)
 
     # -------------------------------------------------- representation moves
 

@@ -136,10 +136,43 @@ def bn254() -> CurveParams:
     )
 
 
+# ----------------------------------------------------------------- toy BN65
+# A tiny (65-bit q) BN curve for fast tests: same family/machinery as BN254
+# (u = 28657; p = 36u^4+36u^3+24u^2+6u+1 and r both prime, p = 3 mod 4,
+# v2(r-1) = 10, xi = 2+u a sextic non-residue, M-type twist, G2 cofactor
+# p - 1 + t).  Field elements are 5 sixteen-bit limbs instead of 24, so the
+# XLA graphs that dominate test compile time shrink ~25x.  Found by
+# exhaustive search over the BN parameter; NOT cryptographically secure --
+# tests only.
+
+_TOY_X = 28657
+_TOY_Q = 0x150F245E1C5D7E947
+_TOY_R = 0x150F245E0A026A401
+
+
+@functools.lru_cache(maxsize=None)
+def toy_bn() -> CurveParams:
+    return CurveParams(
+        name="toy_bn",
+        q=_TOY_Q,
+        r=_TOY_R,
+        b_coeff=10,
+        g1_gen=(2, 3546074668005433179),
+        g2_gen=((6877641324615910799, 4013842116062004279),
+                (17687969620651214333, 16696216940102317850)),
+        x_param=_TOY_X,
+        fq2_nonresidue=(2, 1),  # xi = 2 + u ; Fq2 = Fq[u]/(u^2 + 1)
+        cofactor_g1=1,
+        cofactor_g2=24279545382024326797,  # p - 1 + t
+    )
+
+
 def get_curve(name: str) -> CurveParams:
     name = name.lower().replace("-", "_")
     if name in ("bls12_381", "bls12381", "bls"):
         return bls12_381()
     if name in ("bn254", "bn_254", "bn"):
         return bn254()
+    if name in ("toy_bn", "toybn", "toy"):
+        return toy_bn()
     raise ValueError(f"unknown curve {name}")

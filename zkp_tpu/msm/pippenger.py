@@ -16,11 +16,13 @@ a sort, a static-slice shift, or a batched point operation:
        emitted values stream out as scan outputs (no scatter),
     4. compaction of the <= min(N, 2^c) + N/B emitted partials by a second
        sort, then a *shift-tree* segmented reduction: log2(S) rounds of
-       statically-shifted masked adds fold every bucket's partials into its
+       dynamically-rolled masked adds fold every bucket's partials into its
        run head (scatter-free segmented reduce),
     5. one unique-index scatter-set (pure data movement) into the bucket
-       array, then the standard weighted running-sum over bucket groups,
-  then windows combine MSB-first with c doublings each.
+       array, then a grouped running-sum for sum_k k*B_k,
+  with the windows processed MSB-first by ONE ``lax.scan`` whose body is the
+  whole per-window pipeline (the graph is compiled once, not once per
+  window -- compile time on a 2-vCPU host / remote TPU helper matters).
 
 Work: ~N + O(2^c) point additions per window -- the Pippenger optimum -- with
 all adds batched across VPU lanes.  Generic over the group backend, so the
@@ -41,7 +43,7 @@ SENTINEL = np.uint32(0xFFFFFFFF)  # plain numpy: no device work at import time
 
 
 def default_window_bits(n: int) -> int:
-    """Pippenger window heuristic: c ~ log2(n) - 3, clamped to [2, 16]."""
+    """Pippenger window heuristic: c ~ log2(n) - 4, clamped to [2, 16]."""
     if n <= 16:
         return 2
     return int(min(16, max(2, n.bit_length() - 4)))
@@ -60,6 +62,11 @@ def extract_digits(scalar_limbs, w: int, c: int):
         d = d | (scalar_limbs[..., li] << have)
         have += 16
     return d & jnp.uint32((1 << c) - 1)
+
+
+def _roll0(x, shift):
+    """jnp.roll along axis 0 by a (possibly traced) negative shift."""
+    return jnp.roll(x, -shift, axis=0)
 
 
 def _blocked_run_scan(curve: Weierstrass, keys_t, pts_t, inf_t):
@@ -90,76 +97,113 @@ def _blocked_run_scan(curve: Weierstrass, keys_t, pts_t, inf_t):
     return ekeys, evals, evalid
 
 
-def _shift_tree_reduce(curve: Weierstrass, keys, vals):
+def _segment_fold_to_heads(curve: Weierstrass, keys, vals):
     """Segmented sum-to-head over a sorted key array (scatter-free).
 
-    keys: (S,) sorted; vals: jacobian (S, ...).  After log2(S) rounds of
-    statically-shifted masked adds, position ``start(key)`` holds the full
-    segment sum.  Returns (keys, vals) with non-head positions undefined.
+    keys: (S,) sorted; vals: jacobian (S, ...).  ceil(log2(S)) rounds of a
+    ``fori_loop`` whose body is ONE dynamically-rolled masked add (fixed
+    shape, compiled once).  Position ``start(key)`` ends up holding the full
+    segment sum.  Returns (vals, start).
     """
     S = keys.shape[0]
     start = jnp.searchsorted(keys, keys, side="left").astype(jnp.uint32)
     pos = jnp.arange(S, dtype=jnp.uint32)
     rel = pos - start
-    d = 1
-    while d < S:
-        # element j (rel >= d, rel % 2d == d) folds into j - d
-        active_src = (rel >= d) & (rel % jnp.uint32(2 * d) == d)
-        active_tgt = jnp.concatenate([active_src[d:], jnp.zeros((d,), dtype=bool)])
-        shifted = tuple(jnp.concatenate([v[d:], v[:d]], axis=0) for v in vals)
+    rounds = max(1, int(np.ceil(np.log2(S))) if S > 1 else 1)
+    iX, iY, iZ = curve.infinity()
+    infs = (iX, iY, iZ)
+
+    def body(i, vals):
+        d = (jnp.uint32(1) << i.astype(jnp.uint32))
+        # element j+d (rel >= d, rel % 2d == d) folds into j
+        src_ok = (rel >= d) & (rel % (2 * d) == d)
+        tgt_ok = _roll0(src_ok, d) & (pos < jnp.uint32(S) - d)
+        shifted = tuple(_roll0(v, d) for v in vals)
+        # dead sources act as identity in the masked add
         merged = curve.add(vals, shifted)
-        vals = tuple(curve.k.select(active_tgt, m, v) for m, v in zip(merged, vals))
-        d *= 2
+        return tuple(curve.k.select(tgt_ok, m, v) for m, v in zip(merged, vals))
+
+    vals = jax.lax.fori_loop(0, rounds, body, vals)
     return vals, start
 
 
-def _weighted_bucket_sum(curve: Weierstrass, buckets, c: int):
-    """sum_k k * B_k over 2^c buckets via grouped running sums.
+def _reduce_sum_fixed(curve: Weierstrass, vals, n: int):
+    """Sum n jacobian points (leading axis) -> one point, fixed-shape.
 
-    buckets: jacobian coords with leading axis 2^c (bucket 0 ignored:
-    weight 0).  O(2 * 2^c) adds, vectorized over bucket groups.
+    ceil(log2(n)) rounds of roll+masked add (one add in the loop body).
     """
-    k = curve.k
-    nb = 1 << c
-    G = min(256, nb)      # groups (lanes)
-    m = nb // G           # buckets per group
-    Bv = tuple(v.reshape((G, m) + v.shape[1:]) for v in buckets)
+    if n == 1:
+        return tuple(v[0] for v in vals)
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    rounds = int(np.ceil(np.log2(n)))
+    iX, iY, iZ = curve.infinity()
 
-    def step(carry, xs):
+    def body(i, vals):
+        d = (jnp.uint32(1) << i.astype(jnp.uint32))
+        ok = pos + d < jnp.uint32(n)
+        shifted = tuple(_roll0(v, d) for v in vals)
+        masked = tuple(curve.k.select(ok, s, jnp.broadcast_to(iv, s.shape))
+                       for s, iv in zip(shifted, (iX, iY, iZ)))
+        return curve.add(vals, masked)
+
+    vals = jax.lax.fori_loop(0, rounds, body, vals)
+    return tuple(v[0] for v in vals)
+
+
+def _weighted_and_total(curve: Weierstrass, vals, n: int):
+    """(T, W) = (sum_k V_k, sum_k k*V_k) for k = 0..n-1 (n a power of two).
+
+    Hierarchical grouped running sums: each level is one lax.scan (2 adds
+    per step) over m steps at n/m lanes, recursing on the per-group totals.
+    Sequential depth O(m log n / log m); every loop body compiles once.
+    """
+    if n == 1:
+        return tuple(v[0] for v in vals), curve.infinity()
+    if n <= 64:
+        # 1-D running-sum scan, k = n-1 .. 1
+        xs = tuple(jnp.flip(v[1:], axis=0) for v in vals)
+        init = (curve.infinity(), curve.infinity())
+
+        def step(carry, bk):
+            racc, wacc = carry
+            racc = curve.add(racc, bk)
+            wacc = curve.add(wacc, racc)
+            return (racc, wacc), None
+
+        (racc, wacc), _ = jax.lax.scan(step, init, xs)
+        T = curve.add(racc, tuple(v[0] for v in vals))
+        return T, wacc
+
+    m = 64                      # scan steps per level
+    G = n // m                  # lanes
+    Bv = tuple(v.reshape((G, m) + v.shape[1:]) for v in vals)
+    # within-group running sums, j = m-1 .. 1  (j = 0 has weight 0 in-group)
+    xs = tuple(jnp.flip(v[:, 1:], axis=1).swapaxes(0, 1) for v in Bv)  # (m-1, G, ...)
+    init = (curve.infinity((G,)), curve.infinity((G,)))
+
+    def step(carry, bk):
         racc, wacc = carry
-        bk = xs
         racc = curve.add(racc, bk)
         wacc = curve.add(wacc, racc)
         return (racc, wacc), None
 
-    # iterate k = m-1 .. 1 (skip j=0: weight 0 within group)
-    xs = tuple(jnp.flip(v[:, 1:], axis=1).swapaxes(0, 1) for v in Bv)  # (m-1, G, ...)
-    init = (curve.infinity((G,)), curve.infinity((G,)))
     (racc, wacc), _ = jax.lax.scan(step, init, xs)
-    # within-group totals T_g = racc + B_{g,0}; weighted W_g = wacc
-    T = curve.add(racc, tuple(v[:, 0] for v in Bv))
-    W = wacc
-    # total = sum_g W_g + m * sum_g g * T_g
-    W_total = curve.reduce_sum(W)
-    # sum_g g * T_g via bit decomposition of g
-    gbits = int(np.log2(G))
-    gT = None
-    g_idx = jnp.arange(G, dtype=jnp.uint32)
-    for b in range(gbits):
-        mask = ((g_idx >> b) & 1) != 0
-        masked = tuple(curve.k.select(mask, v, jnp.broadcast_to(i, v.shape))
-                       for v, i in zip(T, curve.infinity()))
-        s = curve.reduce_sum(masked)
-        for _ in range(b):
-            s = curve.double(s)
-        gT = s if gT is None else curve.add(gT, s)
-    if gT is not None:
-        for _ in range(int(np.log2(m)) if m > 1 else 0):
-            gT = curve.double(gT)
-        total = curve.add(W_total, gT)
-    else:
-        total = W_total
-    return total
+    T_g = curve.add(racc, tuple(v[:, 0] for v in Bv))   # (G, ...) group totals
+    W_g = wacc                                          # sum_j j*V_{g,j}
+    # bucket index k = g*m + j:
+    #   W = m * sum_g g*T_g + sum_g W_g ; T = sum_g T_g
+    T_total, W_groups = _weighted_and_total(curve, T_g, G)
+    W_within = _reduce_sum_fixed(curve, W_g, G)
+    for _ in range(int(np.log2(m))):
+        W_groups = curve.double(W_groups)
+    W_total = curve.add(W_groups, W_within)
+    return T_total, W_total
+
+
+def _weighted_bucket_sum(curve: Weierstrass, buckets, c: int):
+    """sum_k k * B_k over 2^c buckets (bucket 0 ignored: weight 0)."""
+    _, W = _weighted_and_total(curve, buckets, 1 << c)
+    return W
 
 
 def _msm_impl(curve: Weierstrass, xs, ys, inf, scalar_limbs, c: int, block: int):
@@ -179,14 +223,17 @@ def _msm_impl(curve: Weierstrass, xs, ys, inf, scalar_limbs, c: int, block: int)
 
     G = Npad // block
     S = min(Npad, 1 << c) + G  # compaction bound: runs + per-block partials
+    nb = 1 << c
+    iX, iY, iZ = curve.infinity()
 
-    acc = curve.infinity()
-    for w in range(nwin - 1, -1, -1):
-        for _ in range(c if w != nwin - 1 else 0):
-            acc = curve.double(acc)
-        digits = extract_digits(scalar_limbs, w, c)
-        # zero digits and infinity inputs contribute nothing
-        digits = jnp.where(inf, jnp.uint32(0), digits)
+    # all window digits, MSB window first: (nwin, Npad)
+    digits_all = jnp.stack(
+        [extract_digits(scalar_limbs, w, c) for w in range(nwin - 1, -1, -1)])
+    digits_all = jnp.where(inf[None, :], jnp.uint32(0), digits_all)
+
+    def window_body(acc, digits):
+        # acc <- 2^c * acc  (uniform: doubling infinity on the first window)
+        acc = jax.lax.fori_loop(0, c, lambda _, a: curve.double(a), acc)
         keys, perm = jax.lax.sort_key_val(digits, jnp.arange(Npad, dtype=jnp.uint32))
         sx = jnp.take(xs, perm, axis=0)
         sy = jnp.take(ys, perm, axis=0)
@@ -203,20 +250,19 @@ def _msm_impl(curve: Weierstrass, xs, ys, inf, scalar_limbs, c: int, block: int)
         fvalid = evalid.swapaxes(0, 1).reshape(-1)
         # compact: dead slots get SENTINEL keys and sort to the end
         ckeys = jnp.where(fvalid & (fkeys != 0), fkeys, SENTINEL)
-        ckeys, cperm = jax.lax.sort_key_val(ckeys, jnp.arange(ckeys.shape[0], dtype=jnp.uint32))
+        ckeys, cperm = jax.lax.sort_key_val(
+            ckeys, jnp.arange(ckeys.shape[0], dtype=jnp.uint32))
         ckeys = ckeys[:S]
         cvals = tuple(jnp.take(v, cperm[:S], axis=0) for v in fvals)
         # kill dead payloads (so stray adds keep identity semantics)
         dead = ckeys == SENTINEL
-        iX, iY, iZ = curve.infinity()
         cvals = tuple(curve.k.select(dead, jnp.broadcast_to(i, v.shape), v)
                       for v, i in zip(cvals, (iX, iY, iZ)))
         # fold partial run sums into run heads
-        rvals, start = _shift_tree_reduce(curve, ckeys, cvals)
+        rvals, start = _segment_fold_to_heads(curve, ckeys, cvals)
         pos = jnp.arange(S, dtype=jnp.uint32)
         is_head = (pos == start) & ~dead
         # unique-index scatter-set into the bucket table (data movement only)
-        nb = 1 << c
         tgt = jnp.where(is_head, ckeys, jnp.uint32(nb))
         buckets = tuple(
             jnp.zeros((nb + 1,) + v.shape[1:], v.dtype).at[tgt].set(v)[:nb]
@@ -225,7 +271,9 @@ def _msm_impl(curve: Weierstrass, xs, ys, inf, scalar_limbs, c: int, block: int)
         buckets = tuple(b.at[0].set(jnp.broadcast_to(i, b[0].shape))
                         for b, i in zip(buckets, (iX, iY, iZ)))
         win_sum = _weighted_bucket_sum(curve, buckets, c)
-        acc = curve.add(acc, win_sum)
+        return curve.add(acc, win_sum), None
+
+    acc, _ = jax.lax.scan(window_body, curve.infinity(), digits_all)
     return acc
 
 
