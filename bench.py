@@ -43,7 +43,9 @@ def main():
     ops = curve_ops(curve_name)
     fr, fq, g1 = ops.fr, ops.fq, ops.g1
 
-    # ---- generate n pseudorandom points as [k_i]G (batched double-and-add)
+    # ---- generate n pseudorandom points as [k_i]G via the fixed-base window
+    # table, in chunks (a full-batch 2^20 double-and-add OOMs a single chip:
+    # every field mul materializes (lanes, 2L) u32 temps).
     cache = f"/tmp/zkp_bench_points_{curve_name}_{log_n}.npz"
     t0 = time.time()
     if os.path.exists(cache):
@@ -51,14 +53,19 @@ def main():
         xs, ys = jnp.asarray(d["xs"]), jnp.asarray(d["ys"])
         log(f"points loaded from cache in {time.time()-t0:.1f}s")
     else:
+        from zkp_tpu.curve.fixed_base import FixedBaseTable
         ks = fr.random(seed=11, shape=(n,), mont=False)
-        gx, gy = ops.g1_gen_affine
-        G = g1.from_affine(jnp.broadcast_to(gx, (n,) + gx.shape),
-                           jnp.broadcast_to(gy, (n,) + gy.shape))
-        P = g1.scalar_mul(G, ks)
-        xs, ys, _ = g1.to_affine(P)
-        xs.block_until_ready()
-        np.savez(cache, xs=np.asarray(xs), ys=np.asarray(ys))
+        tab = FixedBaseTable(g1, ops.g1_gen_affine, c=8, nbits=fr.nbits + 1)
+        chunk = min(n, 1 << 14)
+        mul = jax.jit(lambda s: g1.to_affine(tab.scalar_mul(s))[:2])
+        xs_np = np.empty((n, fq.n), dtype=np.uint32)
+        ys_np = np.empty((n, fq.n), dtype=np.uint32)
+        for i in range(0, n, chunk):
+            cx, cy = mul(ks[i:i + chunk])
+            xs_np[i:i + chunk] = np.asarray(cx)
+            ys_np[i:i + chunk] = np.asarray(cy)
+        xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+        np.savez(cache, xs=xs_np, ys=ys_np)
         log(f"points generated in {time.time()-t0:.1f}s")
     inf = jnp.zeros((n,), dtype=bool)
     scalars = fr.random(seed=12, shape=(n,), mont=False)

@@ -29,7 +29,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+# check_rep/check_vma=False: the limb kernels' scan carries start from
+# replicated constants (infinity points, SENTINEL keys); JAX >= 0.9's
+# varying-manual-axes type system rejects those inside shard_map unless
+# every init is pcast to varying.  Disabling the rep-check restores the
+# (correct) untyped behavior -- results are identical.
+shard_map = functools.partial(jax.shard_map, check_vma=False)
 
 from ..curve.weierstrass import Weierstrass
 from ..field.fp import ints_to_limbs
