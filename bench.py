@@ -27,6 +27,14 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def fence(out):
+    """True device sync: fetch one element (jax.block_until_ready is a no-op
+    under the axon TPU tunnel -- verified empirically, scripts/tpu_microbench4)."""
+    import jax
+    leaf = jax.tree.leaves(out)[0]
+    return jax.device_get(leaf.ravel()[:1])
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -74,13 +82,13 @@ def main():
     msm = MSM(g1)
     t0 = time.time()
     out = msm(xs, ys, inf, scalars)
-    jax.block_until_ready(out)
+    fence(out)
     log(f"MSM compile+first run: {time.time()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.time()
         out = msm(xs, ys, inf, scalars)
-        jax.block_until_ready(out)
+        fence(out)
         times.append(time.time() - t0)
     best = min(times)
     pps = n / best
@@ -92,9 +100,9 @@ def main():
         ntt_log_n = min(log_n, 18)
         dom = domain_for(ops.params, ntt_log_n)
         coeffs = fr.random(seed=13, shape=(1 << ntt_log_n,))
-        t0 = time.time(); jax.block_until_ready(dom.ntt(coeffs))
+        t0 = time.time(); fence(dom.ntt(coeffs))
         log(f"NTT compile+first: {time.time()-t0:.1f}s")
-        t0 = time.time(); jax.block_until_ready(dom.ntt(coeffs))
+        t0 = time.time(); fence(dom.ntt(coeffs))
         ntt_t = time.time() - t0
         bfly = (1 << ntt_log_n) // 2 * ntt_log_n
         log(f"NTT 2^{ntt_log_n}: {ntt_t*1000:.1f} ms -> {bfly/ntt_t:,.0f} butterflies/s")

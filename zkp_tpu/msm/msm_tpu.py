@@ -1,0 +1,238 @@
+"""TPU-kernelized Pippenger MSM: XLA data movement + Pallas point kernels.
+
+Same algorithm as ``pippenger._msm_impl`` (sort -> blocked run scan ->
+compaction -> segment fold -> bucket scatter -> weighted sum), but every
+point operation is a Pallas kernel on klayout arrays (curve/pkernels.py)
+and point data moves as single packed rows:
+
+  packed affine row  = [x limbs | y limbs | inf] : (N, 2R+1) u32
+  packed jac row     = [X | Y | Z]               : (N, 3R) u32
+
+so each window pays exactly ONE big gather.  Replaces ark-ec
+VariableBaseMSM (crates/groth16-core/src/lib.rs:275-300) as the prover's
+flagship kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..curve.pkernels import KGroup, SENTINEL
+from .pippenger import extract_digits
+
+
+def _kroll(karr, shift):
+    """Roll klayout (rows, S, 128) along the flattened lane axis."""
+    rows, S, _ = karr.shape
+    flat = karr.reshape(rows, S * 128)
+    return jnp.roll(flat, shift, axis=1).reshape(rows, S, 128)
+
+
+def _mask_k(mask_flat, S):
+    """(S*128,) bool/int -> (1, S, 128) u32 mask row."""
+    return mask_flat.astype(jnp.uint32).reshape(1, S, 128)
+
+
+def _reduce_lanes(kg: KGroup, kP, n: int):
+    """Sum the first n lanes of a klayout jac batch -> lane 0 holds the total."""
+    S = kP.shape[1]
+    pos = jnp.arange(S * 128, dtype=jnp.uint32)
+    r = 1
+    while r < n:
+        ok = (pos + r < n) & (pos % (2 * r) == 0)
+        kP = kg.add_masked(kP, _kroll(kP, -r), _mask_k(ok, S))
+        r *= 2
+    return kP
+
+
+def _weighted_total(kg: KGroup, kB, n: int):
+    """(T, W) with T = sum_k V_k, W = sum_k k*V_k over n klayout lanes.
+
+    Slab recursion: view lanes as (m slabs) x (G lanes), k = j*G + g.
+    A scan over slabs (contiguous lane slices) gives per-lane column totals
+    C_g = sum_j V_{j,g} and column-weighted Wc_g = sum_j j*V_{j,g}; then
+      W = G * sum_g Wc_g + sum_g g*C_g ,  T = sum_g C_g,
+    recursing on (C, G).  All adds are full-lane Pallas kernels.
+    Returns klayout arrays whose lane 0 holds the results.
+    """
+    S = kB.shape[1]
+    assert S * 128 == n or n <= S * 128
+    if n <= 128:
+        # single block: W via bit decomposition of k (c_small masked reduces)
+        pos = jnp.arange(S * 128, dtype=jnp.uint32)
+        T = _reduce_lanes(kg, kB, n)
+        W = None
+        b = 0
+        while (1 << b) < n:
+            mask = ((pos & (1 << b)) != 0) & (pos < n)
+            sel = jnp.where(mask[None, :].reshape(1, S, 128) != 0, kB,
+                            kg.jac_infinity(S))
+            red = _reduce_lanes_any(kg, sel, n)
+            for _ in range(b):
+                red = kg.double(red)
+            W = red if W is None else kg.add(W, red)
+            b += 1
+        if W is None:
+            W = kg.jac_infinity(S)
+        return T, W
+
+    G = max(128, n // 64)     # lanes per slab-scan level (>= one vreg block)
+    m = n // G                # slabs
+    Sg = G // 128
+    # xs: (m, 3R, Sg, 128) slabs, high j first for the running-sum trick:
+    xs = kB.reshape(3 * kg.R, m, Sg, 128).swapaxes(0, 1)[::-1]
+    inf = kg.jac_infinity(Sg)
+
+    def step(carry, slab):
+        run, wc = carry           # run = sum of slabs seen (j >= current)
+        run = kg.add(run, slab)
+        wc = kg.add(wc, run)
+        return (run, wc), None
+
+    # process j = m-1 .. 1; then add slab 0 into run (weight 0 in wc)
+    (run, wc), _ = jax.lax.scan(step, (inf, inf), xs[:-1])
+    C = kg.add(run, xs[-1])       # column totals, (3R, Sg, 128)
+    # wc = sum_{j>=1} j * V_{j,g}  (since slab j enters run exactly j times)
+    T2, Wg = _weighted_total(kg, C, G)     # recurse on columns
+    # W = G * (sum_g Wc_g)  +  (sum_g g * C_g)
+    WcG = _reduce_lanes(kg, wc, G)
+    for _ in range(int(np.log2(G))):
+        WcG = kg.double(WcG)
+    W = kg.add(WcG, Wg)
+    return T2, W
+
+
+def _lane0(kg: KGroup, kP):
+    """Extract lane 0 of a klayout jac batch as a (3R, 1, 128) block."""
+    return kP[:, :1, :]
+
+
+@functools.partial(jax.jit, static_argnames=("kg", "c", "B"))
+def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128):
+    """packed_affine: (N, 2R+1) u32 [x|y|inf]; scalars (N, nl) 16-bit limbs.
+
+    Returns a packed jacobian row (1, 3R) = the MSM result.
+    N must be a multiple of 128*B/... (callers pad; see MSMKernel).
+    """
+    N = packed_affine.shape[0]
+    R = kg.R
+    nl = scalar_limbs.shape[-1]
+    nwin = -(-16 * nl // c)
+    G = N // B
+    S = G // 128
+    nb = 1 << c
+    assert c >= 7, "kernelized MSM needs >= 128 buckets (use the small-N path)"
+    Scap = min(N, nb) + G            # compaction bound
+    Scap = -(-Scap // 1024) * 1024   # klayout-friendly (128 lanes x st=8)
+    Sc = Scap // 128
+
+    inf_col = packed_affine[:, 2 * R] != 0
+    digits_all = jnp.stack(
+        [extract_digits(scalar_limbs, w, c) for w in range(nwin - 1, -1, -1)])
+    digits_all = jnp.where(inf_col[None, :], jnp.uint32(0), digits_all)
+
+    def window_body(acc, digits):
+        # acc <- 2^c acc
+        acc = jax.lax.fori_loop(0, c, lambda _, a: kg.double(a), acc)
+        keys, perm = jax.lax.sort_key_val(digits, jnp.arange(N, dtype=jnp.uint32))
+        rows = jnp.take(packed_affine, perm, axis=0)          # THE gather
+        # time-major klayout: element n -> (g = n // B, t = n % B)
+        rows_t = rows.reshape(G, B, 2 * R + 1).transpose(1, 2, 0)   # (B, 2R+1, G)
+        keys_t = keys.reshape(G, B).T[:, None, :]                   # (B, 1, G)
+        A_key = jnp.concatenate([rows_t, keys_t], axis=1)           # (B, 2R+2, G)
+        A_key = A_key.reshape(B, 2 * R + 2, S, 128)
+
+        acc0 = kg.jac_infinity(S)
+        ck0 = jnp.full((1, S, 128), SENTINEL, dtype=jnp.uint32)
+        (facc, fkey), (emits, ekeys, evalid) = jax.lax.scan(
+            kg.run_step, (acc0, ck0), A_key)
+        # append trailing run
+        emits = jnp.concatenate([emits, facc[None]], axis=0)        # (B+1, 3R, S, 128)
+        ekeys = jnp.concatenate([ekeys, fkey[None]], axis=0)        # (B+1, 1, S, 128)
+        evalid = jnp.concatenate(
+            [evalid, jnp.ones_like(evalid[:1])], axis=0)
+        # flatten to run order (emit of column g at time t -> flat g*(B+1)+t)
+        Bp = B + 1
+        e_rows = emits.reshape(Bp, 3 * R, G).transpose(2, 0, 1).reshape(Bp * G, 3 * R)
+        e_keys = ekeys.reshape(Bp, G).T.reshape(Bp * G)
+        e_val = evalid.reshape(Bp, G).T.reshape(Bp * G) != 0
+
+        ckeys = jnp.where(e_val & (e_keys != 0), e_keys, SENTINEL)
+        ckeys, cperm = jax.lax.sort_key_val(
+            ckeys, jnp.arange(Bp * G, dtype=jnp.uint32))
+        ckeys = ckeys[:Scap]
+        part = jnp.take(e_rows, cperm[:Scap], axis=0)               # (Scap, 3R)
+        dead = ckeys == SENTINEL
+        # dead payloads -> infinity (identity for adds)
+        inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]           # (1, 3R)
+        part = jnp.where(dead[:, None], inf_row, part)
+
+        # segment fold to run heads (scatter-free), klayout throughout
+        kv = kg.to_klayout(part)                                    # (3R, Sc, 128)
+        start = jnp.searchsorted(ckeys, ckeys, side="left").astype(jnp.uint32)
+        pos = jnp.arange(Scap, dtype=jnp.uint32)
+        rel = pos - start
+        rounds = int(np.ceil(np.log2(max(Scap, 2))))
+
+        def fold_body(i, kv):
+            d = (jnp.uint32(1) << i.astype(jnp.uint32))
+            src_ok = (rel >= d) & (rel % (2 * d) == d)
+            tgt_ok = jnp.roll(src_ok, -d) & (pos < jnp.uint32(Scap) - d)
+            shifted = _kroll(kv, -d)
+            return kg.add_masked(kv, shifted, _mask_k(tgt_ok, Sc))
+
+        kv = jax.lax.fori_loop(0, rounds, fold_body, kv)
+        heads = kg.from_klayout(kv)                                 # (Scap, 3R)
+        is_head = (pos == start) & ~dead
+        tgt = jnp.where(is_head, ckeys, jnp.uint32(nb))
+        buckets = jnp.tile(inf_row, (nb + 1, 1)).at[tgt].set(heads)[:nb]
+        buckets = buckets.at[0].set(inf_row[0])                     # weight 0 anyway
+
+        kB = kg.to_klayout(buckets)                                 # (3R, nb/128, 128)
+        _, W = _weighted_total(kg, kB, nb)
+        win = _lane0(kg, W)
+        return kg.add(acc, win), None
+
+    acc0 = kg.jac_infinity(1)
+    acc, _ = jax.lax.scan(window_body, acc0, digits_all)
+    return kg.from_klayout(acc)[:1]                                 # (1, 3R)
+
+
+class MSMKernel:
+    """User entry: (xs, ys, inf, scalars) in the fp.py conventions -> jac tuple."""
+
+    def __init__(self, curve_ops, which: str = "g1", st: int = 8):
+        self.ops = curve_ops
+        self.which = which
+        fq = curve_ops.fq
+        self.kg = KGroup(curve_ops.params.q, fq.n, which, st=st)
+        self.field = curve_ops.fq if which == "g1" else curve_ops.f2
+
+    def pack(self, xs, ys, inf):
+        N = xs.shape[0]
+        R = self.kg.R
+        return jnp.concatenate(
+            [xs.reshape(N, R), ys.reshape(N, R),
+             inf.astype(jnp.uint32)[:, None]], axis=1)
+
+    def __call__(self, xs, ys, inf, scalar_limbs, c: int = 16, B: int = 128):
+        N = xs.shape[0]
+        blk = 128 * B
+        Npad = -(-N // blk) * blk
+        pa = self.pack(xs, ys, inf)
+        if Npad != N:
+            pad = jnp.zeros((Npad - N, pa.shape[1]), jnp.uint32)
+            pad = pad.at[:, 2 * self.kg.R].set(1)   # padded points = infinity
+            pa = jnp.concatenate([pa, pad], axis=0)
+            scalar_limbs = jnp.concatenate(
+                [scalar_limbs,
+                 jnp.zeros((Npad - N, scalar_limbs.shape[1]), jnp.uint32)], axis=0)
+        out = msm_tpu(self.kg, pa, scalar_limbs, c=c, B=B)
+        R = self.kg.R
+        X, Y, Z = out[0, :R], out[0, R:2 * R], out[0, 2 * R:]
+        sd = (2, self.ops.fq.n) if self.which == "g2" else (self.ops.fq.n,)
+        return X.reshape(sd), Y.reshape(sd), Z.reshape(sd)

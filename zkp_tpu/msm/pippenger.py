@@ -206,8 +206,20 @@ def _weighted_bucket_sum(curve: Weierstrass, buckets, c: int):
     return W
 
 
+NAIVE_CUTOFF = 128  # below this, sort/bucket overhead loses to double-and-add
+
+
 def _msm_impl(curve: Weierstrass, xs, ys, inf, scalar_limbs, c: int, block: int):
     N = xs.shape[0]
+    if N <= NAIVE_CUTOFF:
+        # Tiny problems (unit tests, per-device shards in the multi-chip
+        # dry run): batched double-and-add + tree reduce.  Work-optimal at
+        # this size and ~50x less HLO than the bucket pipeline -- XLA:CPU
+        # compile time of the full Pippenger graph is minutes, which the
+        # driver's dryrun budget cannot afford.
+        P = curve.from_affine(xs, ys, inf=inf)
+        prods = curve.scalar_mul(P, scalar_limbs)
+        return curve.reduce_sum(prods)
     nl = scalar_limbs.shape[-1]
     nbits = 16 * nl
     nwin = -(-nbits // c)

@@ -40,7 +40,7 @@ class StageTimer:
     @contextlib.contextmanager
     def stage(self, name: str, sync_result=None):
         if not self.enabled:
-            yield
+            yield {}
             return
         t0 = time.time()
         holder = {}
