@@ -20,6 +20,14 @@ import time
 
 import numpy as np
 
+# persistent compile cache (repo-local): Mosaic/XLA compiles of the limb
+# kernels take minutes; cache entries survive across driver invocations.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_CACHE, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 NOMINAL_BASELINE_PPS = 3.5e6
 
 
@@ -78,8 +86,12 @@ def main():
     inf = jnp.zeros((n,), dtype=bool)
     scalars = fr.random(seed=12, shape=(n,), mont=False)
 
-    # ---- MSM timing
-    msm = MSM(g1)
+    # ---- MSM timing (Pallas-kernelized path on TPU, generic path elsewhere)
+    if platform == "tpu":
+        from zkp_tpu.msm.msm_tpu import MSMKernel
+        msm = MSMKernel(ops, "g1")
+    else:
+        msm = MSM(g1)
     t0 = time.time()
     out = msm(xs, ys, inf, scalars)
     fence(out)

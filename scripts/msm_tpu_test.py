@@ -1,0 +1,102 @@
+"""Correctness + perf of the kernelized MSM on TPU.
+
+Correctness: MSM of [1..N]*G with scalars s_i -> compare against the host
+identity sum(s_i * i) * G computed by the oracle.
+"""
+import time, sys, os
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax, jax.numpy as jnp
+import numpy as np
+
+from zkp_tpu.curve.curves import curve_ops
+from zkp_tpu.msm.msm_tpu import MSMKernel
+from zkp_tpu.ref.pyref import CurveRef
+
+ops = curve_ops("bls12_381")
+fq, fr = ops.fq, ops.fr
+oracle = CurveRef(ops.params)
+
+def fence(out):
+    return jax.device_get(jax.tree.leaves(out)[0].ravel()[:1])
+
+# ---- correctness at N=2^14 (points [i+1]G via host-free trick: use fixed-base)
+N = 1 << 14
+r = fr.p
+rng = np.random.default_rng(7)
+scal_ints = [int.from_bytes(rng.bytes(40), "little") % r for _ in range(N)]
+# points: [m_i] G with small multipliers m_i (host EC cheap only for small m)
+m_ints = [int(v) for v in rng.integers(1, 1 << 20, size=N)]
+# expected = [sum m_i s_i mod r] G
+total = sum(m * s for m, s in zip(m_ints, scal_ints)) % r
+expected = oracle.g1_mul(total, oracle.g1)
+
+# device points via fixed-base table (already-tested path)
+tab = ops.g1_fixed_base()
+mk = ops.fr.encode(m_ints, mont=False)
+P = tab.scalar_mul(mk)
+xs, ys, inf = ops.g1.to_affine(P)
+scal = fr.encode(scal_ints, mont=False)
+
+msm = MSMKernel(ops, "g1")
+# stage the Mosaic kernel compiles with progress prints
+kg = msm.kg
+t0 = time.time(); fence(kg.double(kg.jac_infinity(8)))
+print(f"double kernel compile: {time.time()-t0:.1f}s", flush=True)
+t0 = time.time(); fence(kg.add(kg.jac_infinity(8), kg.jac_infinity(8)))
+print(f"add kernel compile: {time.time()-t0:.1f}s", flush=True)
+t0 = time.time()
+fence(kg.add_masked(kg.jac_infinity(8), kg.jac_infinity(8),
+                    jnp.zeros((1, 8, 128), jnp.uint32)))
+print(f"add_masked kernel compile: {time.time()-t0:.1f}s", flush=True)
+t0 = time.time()
+A0 = jnp.zeros((2 * kg.R + 2, 8, 128), jnp.uint32)
+ck0 = jnp.zeros((1, 8, 128), jnp.uint32)
+fence(kg.run_step((kg.jac_infinity(8), ck0), A0))
+print(f"run_step kernel compile: {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
+out = msm(xs, ys, inf, scal, c=13, B=64)
+X, Y, Z = out
+fence(out)
+print(f"msm 2^14 compile+run: {time.time()-t0:.1f}s", flush=True)
+# to affine on host
+Xl, Yl, Zl = (int(v) for v in (0,)*3) if False else (None, None, None)
+def dec1(a):
+    return int(fq.decode(a))
+zx = dec1(X); zy = dec1(Y); zz = dec1(Z)
+q = ops.params.q
+if zz == 0:
+    got = None
+else:
+    zinv = pow(zz, -1, q)
+    got = (zx * zinv**2 % q, zy * zinv**3 % q)
+print("correct:", got == expected, flush=True)
+if got != expected:
+    print("got     ", got)
+    print("expected", expected)
+    sys.exit(1)
+
+# ---- perf at 2^17 and 2^20
+for logn, c, B in ((17, 14, 128), (20, 16, 128)):
+    Np = 1 << logn
+    reps = Np // N
+    xs_b = jnp.tile(xs, (reps, 1))
+    ys_b = jnp.tile(ys, (reps, 1))
+    inf_b = jnp.tile(inf, (reps,))
+    scal_b = fr.encode([int.from_bytes(rng.bytes(40), "little") % r
+                        for _ in range(Np)], mont=False)
+    t0 = time.time()
+    out = msm(xs_b, ys_b, inf_b, scal_b, c=c, B=B)
+    fence(out)
+    print(f"msm 2^{logn} c={c} compile+first: {time.time()-t0:.1f}s", flush=True)
+    for _ in range(2):
+        t0 = time.time()
+        out = msm(xs_b, ys_b, inf_b, scal_b, c=c, B=B)
+        fence(out)
+        dt = time.time() - t0
+        print(f"msm 2^{logn}: {dt*1e3:.0f} ms -> {Np/dt/1e6:.3f} M points/s", flush=True)

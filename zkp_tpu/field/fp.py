@@ -182,42 +182,36 @@ class Fp:
     def _carry(self, cols, n_out, carry_in_one: bool = False):
         """Propagate carries over the last axis.  ``cols`` entries < 2^26.
 
-        Log-depth: one local push of the multi-bit carries, then Kogge-Stone
-        generate/propagate prefix for the remaining 1-bit ripple.  An
-        unrolled ripple chain is O(n) sequential HLO and blows up XLA compile
-        time once inlined into curve formulas; this is ~O(log n).
+        Sequential ripple in pure u32 arithmetic (slice, add, mask, shift;
+        no booleans, no pads).  Empirically XLA:CPU compiles this ~14x
+        faster than the log-depth generate/propagate network this replaced
+        (the i1 prefix ops trigger a pathological compiler pass --
+        scripts history, round 2), and on TPU the hot paths use the Pallas
+        kernels anyway.
 
         Returns (limbs (..., n_out) each < 2^16, carry_out).  carry_out is
-        exact (sum of everything overflowing limb n_out-1); all callers have
-        bounds making it fit uint32.
+        exact; all callers have bounds making it fit uint32.
         """
         m = cols.shape[-1]
-        if m < n_out:
-            cols = self._pad_last(cols, 0, n_out - m)
-            m = n_out
-        # phase 1: push the multi-bit part of each column one limb up
-        hi = cols >> LIMB_BITS                      # < 2^10
-        s = (cols & MASK) + self._pad_last(hi[..., :-1], 1, 0)  # < 2^16 + 2^10
-        top = hi[..., -1]                           # spill past the last limb
-        if carry_in_one:
-            one = jnp.zeros(s.shape[:-1] + (1,), dtype=jnp.uint32) + 1
-            s = s + self._pad_last(one, 0, m - 1)
-        # phase 2: 1-bit carries via generate/propagate prefix (Kogge-Stone)
-        g = s >> LIMB_BITS                          # in {0, 1}
-        p = ((s & MASK) == MASK).astype(jnp.uint32)
-        d = 1
-        while d < m:
-            gs = self._pad_last(g[..., :-d], d, 0) if d < m else jnp.zeros_like(g)
-            ps = self._pad_last(p[..., :-d], d, 0) if d < m else jnp.zeros_like(p)
-            g = g | (p & gs)
-            p = p & ps
-            d *= 2
-        c_in = self._pad_last(g[..., :-1], 1, 0)    # carry INTO limb k
-        out = (s + c_in) & MASK
-        c_out = (s[..., -1] + c_in[..., -1]) >> LIMB_BITS
-        if out.shape[-1] > n_out:
-            out = out[..., :n_out]  # callers never rely on truncated carries
-        return out, top + c_out
+        outs = []
+        c = None
+        for k in range(min(m, n_out)):
+            t = cols[..., k]
+            if k == 0 and carry_in_one:
+                t = t + jnp.uint32(1)
+            if c is not None:
+                t = t + c
+            outs.append(t & MASK)
+            c = t >> LIMB_BITS
+        if c is None:
+            c = jnp.zeros(cols.shape[:-1], dtype=jnp.uint32)
+        # fold any remaining input columns beyond n_out into the carry
+        for k in range(n_out, m):
+            c = c + cols[..., k]  # callers guarantee this cannot overflow
+        while len(outs) < n_out:
+            outs.append(c & MASK)
+            c = c >> LIMB_BITS
+        return jnp.stack(outs, axis=-1), c
 
     def _sub_limbs(self, a, b):
         """(a - b) over n limbs with borrow -> (diff, borrow in {0,1}).
@@ -235,7 +229,14 @@ class Fp:
         return s, c
 
     def _select(self, cond, x, y):
-        return jnp.where(cond[..., None] != 0, x, y)
+        """Arithmetic select: x where cond else y.  cond: bool or u32 {0,1}.
+
+        Limbs are < 2^16 so mask-multiply is exact in u32; XLA:CPU compiles
+        this far faster than predicate-typed where-networks (round-2 finding,
+        same pathology as the carry chains).
+        """
+        m = (cond != 0).astype(jnp.uint32)[..., None]
+        return x * m + y * (jnp.uint32(1) - m)
 
     # public alias: the duck-typed field-backend surface used by the curve
     # kernels (tower classes define their own broadcast-aware select)
@@ -246,16 +247,18 @@ class Fp:
     def add(self, a, b):
         s, c = self._add_limbs(a, b)
         d, borrow = self._sub_limbs(s, jnp.asarray(self.p_limbs))
-        return self._select((c == 1) | (borrow == 0), d, s)
+        take = jnp.minimum(c | (jnp.uint32(1) - borrow), jnp.uint32(1))
+        return self._select(take, d, s)
 
     def sub(self, a, b):
         d, borrow = self._sub_limbs(a, b)
         dp, _ = self._add_limbs(d, jnp.asarray(self.p_limbs))
-        return self._select(borrow == 1, dp, d)
+        return self._select(borrow, dp, d)
 
     def neg(self, a):
         d, _ = self._sub_limbs(jnp.asarray(self.p_limbs), a)
-        return self._select(self.is_zero(a), jnp.zeros_like(a), d)
+        nz = jnp.minimum(jnp.sum(a, axis=-1), jnp.uint32(1))
+        return d * nz[..., None]
 
     def double(self, a):
         return self.add(a, a)
@@ -323,7 +326,8 @@ class Fp:
         u, c = self._carry(t + mp, 2 * n)  # low n limbs become 0; u < 2pR fits 2n limbs
         res = u[..., n:]
         d, borrow = self._sub_limbs(res, jnp.asarray(self.p_limbs))
-        return self._select((c == 1) | (borrow == 0), d, res)
+        take = jnp.minimum(c | (jnp.uint32(1) - borrow), jnp.uint32(1))
+        return self._select(take, d, res)
 
     def mul(self, a, b):
         """Montgomery product: (aR)(bR)R^-1 = abR."""

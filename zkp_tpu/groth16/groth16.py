@@ -192,6 +192,100 @@ def generate_crs(ops: CurveOps, qap: QAP, params: SetupParams) -> CRS:
     return CRS(pk, vk)
 
 
+def generate_crs_host(ops: CurveOps, qap: QAP, params: SetupParams) -> CRS:
+    """Host-only trusted setup: pure-python field math + EC via the oracle.
+
+    Produces keys bit-identical to ``generate_crs`` (same equations, same
+    Montgomery encodings) without compiling a single device program -- used
+    for tiny circuits where XLA compile time dominates (unit tests and the
+    driver's multi-chip dryrun, where XLA:CPU takes minutes to build the
+    fixed-base table graphs).
+    """
+    from ..ref.pyref import CurveRef
+
+    fr = ops.fr
+    r = fr.p
+    params.validate(r)
+    a, b, g_, d, s = (params.alpha % r, params.beta % r, params.gamma % r,
+                      params.delta % r, params.s % r)
+    d_inv = pow(d, -1, r)
+    g_inv = pow(g_, -1, r)
+    dom = qap.domain
+    n = qap.n
+    V = qap.num_variables
+    npub = qap.num_public
+
+    # Lagrange coefficients L_j(s) on the host
+    if pow(s, n, r) == 1:
+        lag, w = [], 1
+        for _ in range(n):
+            lag.append(1 if w == s else 0)
+            w = w * dom.omega % r
+    else:
+        zs_over_n = (pow(s, n, r) - 1) * pow(n, -1, r) % r
+        lag, w = [], 1
+        for _ in range(n):
+            lag.append(w * zs_over_n % r * pow((s - w) % r, -1, r) % r)
+            w = w * dom.omega % r
+
+    # A_i(s) = sum_j a_{j,i} L_j(s) from the sparse COO
+    evals = {}
+    for name in ("a", "b", "c"):
+        rows, cols, coeffs = qap._mats[name]
+        dest = [0] * V
+        if coeffs.shape[0]:
+            rows_h = np.asarray(rows)
+            cols_h = np.asarray(cols)
+            cints = [int(v) for v in fr.decode(coeffs)]
+            for rr, cc, vv in zip(rows_h, cols_h, cints):
+                dest[int(cc)] = (dest[int(cc)] + vv * lag[int(rr)]) % r
+        evals[name] = dest
+    A, B, C = evals["a"], evals["b"], evals["c"]
+    k_s = [(b * A[i] + a * B[i] + C[i]) % r for i in range(V)]
+    l_sc = [k_s[i] * d_inv % r for i in range(npub + 1, V)]
+    ic_sc = [k_s[i] * g_inv % r for i in range(npub + 1)]
+    zs = dom.vanishing_at(s)
+    h_sc = [zs * d_inv % r * pow(s, i, r) % r for i in range(n - 1)]
+
+    oracle = CurveRef(ops.params)
+
+    def g1_batch(scalars):
+        pts = [oracle.g1_mul(k % r, oracle.g1) for k in scalars]
+        xs = ops.fq.encode([0 if p is None else p[0] for p in pts])
+        ys = ops.fq.encode([0 if p is None else p[1] for p in pts])
+        inf = jnp.asarray(np.array([p is None for p in pts], dtype=bool))
+        return xs, ys, inf
+
+    def g2_batch(scalars):
+        pts = [oracle.g2_mul(k % r, oracle.g2) for k in scalars]
+        xs = ops.f2.encode([(0, 0) if p is None else (p[0].c0, p[0].c1) for p in pts])
+        ys = ops.f2.encode([(0, 0) if p is None else (p[1].c0, p[1].c1) for p in pts])
+        inf = jnp.asarray(np.array([p is None for p in pts], dtype=bool))
+        return xs, ys, inf
+
+    x1, y1, i1 = g1_batch([a, b, d] + A + B + l_sc + ic_sc + h_sc)
+    single = lambda t, k: tuple(v[k] for v in t)
+    take = lambda t, k0, k1: tuple(v[k0:k1] for v in t)
+    t1 = (x1, y1, i1)
+    ofs = 3
+    alpha_g1, beta_g1, delta_g1 = single(t1, 0), single(t1, 1), single(t1, 2)
+    a_g1 = take(t1, ofs, ofs + V); ofs += V
+    b_g1 = take(t1, ofs, ofs + V); ofs += V
+    l_g1 = take(t1, ofs, ofs + V - npub - 1); ofs += V - npub - 1
+    ic_g1 = take(t1, ofs, ofs + npub + 1); ofs += npub + 1
+    h_g1 = take(t1, ofs, ofs + n - 1)
+
+    x2, y2, i2 = g2_batch([b, g_, d] + B)
+    t2 = (x2, y2, i2)
+    beta_g2, gamma_g2, delta_g2 = single(t2, 0), single(t2, 1), single(t2, 2)
+    b_g2 = take(t2, 3, 3 + V)
+
+    pk = ProvingKey(ops, qap, alpha_g1, beta_g1, delta_g1, beta_g2, delta_g2,
+                    a_g1, b_g1, b_g2, l_g1, h_g1)
+    vk = VerificationKey(ops, npub, alpha_g1, beta_g2, gamma_g2, delta_g2, ic_g1)
+    return CRS(pk, vk)
+
+
 # ----------------------------------------------------------------- witness
 
 
@@ -267,19 +361,40 @@ def proof_from_dict(d: dict, curve_name: str = "bls12_381") -> Proof:
 
 class Prover:
     """Groth16 prover: 3 G1 MSMs + 1 G2 MSM + the NTT quotient pipeline
-    (reference Prover::prove, core/lib.rs:139-272, corrected)."""
+    (reference Prover::prove, core/lib.rs:139-272, corrected).
+
+    The MSMs and the quotient run on device (Pallas kernels on TPU); the
+    O(1) blinding combine (a dozen single-point operations) runs on the
+    host oracle -- a single-lane device graph costs minutes of XLA compile
+    for microseconds of work.
+    """
+
+    KERNEL_MIN_N = 4096   # below this the sort/bucket pipeline loses anyway
 
     def __init__(self, ops: CurveOps):
         self.ops = ops
         self.msm_g1 = MSM(ops.g1)
         self.msm_g2 = MSM(ops.g2)
+        self._kmsm = {}
+
+    def _msm(self, which: str, xs, ys, inf, scal):
+        import jax as _jax
+        n = xs.shape[0]
+        if _jax.default_backend() == "tpu" and n >= self.KERNEL_MIN_N:
+            if which not in self._kmsm:
+                from ..msm.msm_tpu import MSMKernel
+                self._kmsm[which] = MSMKernel(self.ops, which)
+            return self._kmsm[which](xs, ys, inf, scal)
+        return (self.msm_g1 if which == "g1" else self.msm_g2)(xs, ys, inf, scal)
 
     def prove(self, pk: ProvingKey, witness: Witness, seed: int,
               skip_validation: bool = False, timer=None) -> Proof:
+        from ..ref.pyref import CurveRef, Fq2
         from ..utils.profiling import StageTimer
         tm = timer if timer is not None else StageTimer(enabled=False)
         ops = self.ops
         fr = ops.fr
+        fq = ops.fq
         qap = pk.qap
         with tm.stage("validate_witness"):
             if not skip_validation:
@@ -289,7 +404,6 @@ class Prover:
         npub = qap.num_public
 
         r_blind, s_blind = fr.random_ints(seed, 2)
-        rs = fr.encode([r_blind, s_blind, r_blind * s_blind % fr.p], mont=False)
 
         # H coefficients (degree <= n-2)
         with tm.stage("quotient_ntt") as hh:
@@ -297,50 +411,80 @@ class Prover:
             h_std = fr.from_mont(h)[: qap.n - 1]
             hh["out"] = h_std
 
-        g1 = ops.g1
-        g2 = ops.g2
-
-        # pi_A = alpha + sum w_i [A_i(s)] + r delta
         with tm.stage("msm_a_g1") as hh:
-            A_msm = self.msm_g1(*pk.a_g1, z_std)
+            A_msm = self._msm("g1", *pk.a_g1, z_std)
             hh["out"] = A_msm
-        delta_jac = g1.from_affine(*pk.delta_g1[:2], inf=pk.delta_g1[2])
-        rdelta = g1.scalar_mul(delta_jac, rs[0])
-        piA = g1.add(g1.add(A_msm, g1.from_affine(*pk.alpha_g1[:2], inf=pk.alpha_g1[2])), rdelta)
-
-        # pi_B (G2) and its G1 shadow
         with tm.stage("msm_b_g2") as hh:
-            B2_msm = self.msm_g2(*pk.b_g2, z_std)
+            B2_msm = self._msm("g2", *pk.b_g2, z_std)
             hh["out"] = B2_msm
-        delta2_jac = g2.from_affine(*pk.delta_g2[:2], inf=pk.delta_g2[2])
-        sdelta2 = g2.scalar_mul(delta2_jac, rs[1])
-        piB = g2.add(g2.add(B2_msm, g2.from_affine(*pk.beta_g2[:2], inf=pk.beta_g2[2])), sdelta2)
-
         with tm.stage("msm_b_g1") as hh:
-            B1_msm = self.msm_g1(*pk.b_g1, z_std)
+            B1_msm = self._msm("g1", *pk.b_g1, z_std)
             hh["out"] = B1_msm
-        sdelta1 = g1.scalar_mul(delta_jac, rs[1])
-        piB1 = g1.add(g1.add(B1_msm, g1.from_affine(*pk.beta_g1[:2], inf=pk.beta_g1[2])), sdelta1)
-
-        # pi_C = L-msm(priv) + H-msm + s piA + r piB1 - rs delta
         with tm.stage("msm_l_g1") as hh:
-            L_msm = self.msm_g1(*pk.l_g1, z_std[npub + 1:])
+            L_msm = self._msm("g1", *pk.l_g1, z_std[npub + 1:])
             hh["out"] = L_msm
         with tm.stage("msm_h_g1") as hh:
-            H_msm = self.msm_g1(*pk.h_g1, h_std)
+            H_msm = self._msm("g1", *pk.h_g1, h_std)
             hh["out"] = H_msm
-        with tm.stage("combine_and_affine") as hh:
-            piA_aff = g1.to_affine(tuple(t[None] for t in piA))
-            piB1_aff = g1.to_affine(tuple(t[None] for t in piB1))
-            s_piA = g1.scalar_mul(g1.from_affine(piA_aff[0][0], piA_aff[1][0], inf=piA_aff[2][0]), rs[1])
-            r_piB1 = g1.scalar_mul(g1.from_affine(piB1_aff[0][0], piB1_aff[1][0], inf=piB1_aff[2][0]), rs[0])
-            rsdelta = g1.scalar_mul(delta_jac, rs[2])
-            piC = g1.add(g1.add(g1.add(L_msm, H_msm), g1.add(s_piA, r_piB1)), g1.neg(rsdelta))
-            proof = Proof(
-                a=_g1_to_ints(ops, piA),
-                b=_g2_to_ints(ops, piB),
-                c=_g1_to_ints(ops, piC),
-            )
+
+        with tm.stage("combine_host"):
+            oracle = CurveRef(ops.params)
+            q = ops.params.q
+
+            def g1_host(P):
+                """Device jacobian tuple -> host affine (x, y) or None."""
+                X, Y, Z = (int(fq.decode(t)) for t in P)
+                if Z == 0:
+                    return None
+                zi = pow(Z, -1, q)
+                return (X * zi * zi % q, Y * zi * zi % q * zi % q)
+
+            def g2_host(P):
+                def d(t):
+                    c = fq.decode(t)
+                    return Fq2(q, int(c[0]), int(c[1]))
+                X, Y, Z = (d(t) for t in P)
+                if Z.is_zero():
+                    return None
+                zi = Z.inv()
+                zi2 = zi * zi
+                return (X * zi2, Y * zi2 * zi)
+
+            def aff_host_g1(t):
+                """pk single affine (x, y, inf) device -> host tuple."""
+                x, y, inf = t
+                if bool(inf):
+                    return None
+                return (int(fq.decode(x)), int(fq.decode(y)))
+
+            def aff_host_g2(t):
+                x, y, inf = t
+                if bool(inf):
+                    return None
+                cx, cy = fq.decode(x), fq.decode(y)
+                return (Fq2(q, int(cx[0]), int(cx[1])), Fq2(q, int(cy[0]), int(cy[1])))
+
+            alpha = aff_host_g1(pk.alpha_g1)
+            beta1 = aff_host_g1(pk.beta_g1)
+            delta1 = aff_host_g1(pk.delta_g1)
+            beta2 = aff_host_g2(pk.beta_g2)
+            delta2 = aff_host_g2(pk.delta_g2)
+
+            ga = oracle.g1_add
+            gm = oracle.g1_mul
+            g2a = oracle.g2_add
+            g2m = oracle.g2_mul
+
+            piA = ga(ga(g1_host(A_msm), alpha), gm(r_blind, delta1))
+            piB = g2a(g2a(g2_host(B2_msm), beta2), g2m(s_blind, delta2))
+            piB1 = ga(ga(g1_host(B1_msm), beta1), gm(s_blind, delta1))
+            piC = ga(g1_host(L_msm), g1_host(H_msm))
+            piC = ga(piC, gm(s_blind, piA))
+            piC = ga(piC, gm(r_blind, piB1))
+            piC = ga(piC, oracle.g1_neg(gm(r_blind * s_blind % fr.p, delta1)))
+            b_ints = None if piB is None else (
+                (piB[0].c0, piB[0].c1), (piB[1].c0, piB[1].c1))
+            proof = Proof(a=piA, b=b_ints, c=piC)
         return proof
 
 

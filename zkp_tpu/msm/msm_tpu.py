@@ -71,14 +71,14 @@ def _weighted_total(kg: KGroup, kB, n: int):
             mask = ((pos & (1 << b)) != 0) & (pos < n)
             sel = jnp.where(mask[None, :].reshape(1, S, 128) != 0, kB,
                             kg.jac_infinity(S))
-            red = _reduce_lanes_any(kg, sel, n)
+            red = _reduce_lanes(kg, sel, n)
             for _ in range(b):
                 red = kg.double(red)
             W = red if W is None else kg.add(W, red)
             b += 1
         if W is None:
             W = kg.jac_infinity(S)
-        return T, W
+        return T[:, :1, :], W[:, :1, :]   # lane 0 holds the results
 
     G = max(128, n // 64)     # lanes per slab-scan level (>= one vreg block)
     m = n // G                # slabs
@@ -97,9 +97,9 @@ def _weighted_total(kg: KGroup, kB, n: int):
     (run, wc), _ = jax.lax.scan(step, (inf, inf), xs[:-1])
     C = kg.add(run, xs[-1])       # column totals, (3R, Sg, 128)
     # wc = sum_{j>=1} j * V_{j,g}  (since slab j enters run exactly j times)
-    T2, Wg = _weighted_total(kg, C, G)     # recurse on columns
+    T2, Wg = _weighted_total(kg, C, G)     # recurse on columns (S=1 results)
     # W = G * (sum_g Wc_g)  +  (sum_g g * C_g)
-    WcG = _reduce_lanes(kg, wc, G)
+    WcG = _reduce_lanes(kg, wc, G)[:, :1, :]
     for _ in range(int(np.log2(G))):
         WcG = kg.double(WcG)
     W = kg.add(WcG, Wg)

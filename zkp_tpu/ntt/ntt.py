@@ -89,12 +89,21 @@ class Domain:
 
     # ----------------------------------------------------------------- kernel
 
+    def _use_kernels(self) -> bool:
+        import jax as _jax
+        return _jax.default_backend() == "tpu" and self.n >= 512
+
+    def _kf(self):
+        from ..field.kfield import kfield
+        return kfield(self.field.p, self.field.n)
+
     def _transform(self, x, tw):
         f = self.field
         N, L = self.n, f.n
         assert x.shape[-2] == N, f"expected (..., {N}, {L})"
         batch = x.shape[:-2]
         x = jnp.take(x, self._perm, axis=-2)
+        kf = self._kf() if self._use_kernels() else None
         for s in range(1, self.log_n + 1):
             m = 1 << s
             half = m // 2
@@ -103,8 +112,19 @@ class Domain:
             xv = x.reshape(batch + (N // m, m, L))
             a = xv[..., :half, :]
             b = xv[..., half:, :]
-            t = f.mul(b, w)
-            x = jnp.concatenate([f.add(a, t), f.sub(a, t)], axis=-2).reshape(batch + (N, L))
+            if kf is not None:
+                # fused Pallas butterfly: one kernel per stage, full lanes
+                af = a.reshape(-1, L)
+                bf = b.reshape(-1, L)
+                wf = jnp.broadcast_to(w, a.shape).reshape(-1, L)
+                sf, df = kf.butterfly(af, bf, wf)
+                x = jnp.concatenate(
+                    [sf.reshape(a.shape), df.reshape(a.shape)],
+                    axis=-2).reshape(batch + (N, L))
+            else:
+                t = f.mul(b, w)
+                x = jnp.concatenate(
+                    [f.add(a, t), f.sub(a, t)], axis=-2).reshape(batch + (N, L))
         return x
 
     def ntt(self, coeffs):
@@ -113,22 +133,28 @@ class Domain:
             return coeffs
         return self._transform(coeffs, self._tw_fwd)
 
+    def _mul(self, a, b):
+        """Elementwise field mul routed to the Pallas kernel on TPU."""
+        if self._use_kernels() and a.ndim == 2:
+            return self._kf().mul(a, jnp.broadcast_to(b, a.shape))
+        return self.field.mul(a, b)
+
     def intt(self, evals):
         """Evaluations -> coefficients."""
         if self.n == 1:
             return evals
         out = self._transform(evals, self._tw_inv)
-        return self.field.mul(out, self._n_inv_mont)
+        return self._mul(out, self._n_inv_mont)
 
     def coset_ntt(self, coeffs, shift: int):
         """Evaluate on the coset shift * H: scale coeffs by shift^i, then NTT."""
-        scaled = self.field.mul(coeffs, self.powers(shift))
+        scaled = self._mul(coeffs, self.powers(shift))
         return self.ntt(scaled)
 
     def coset_intt(self, evals, shift: int):
         """Interpolate from evaluations on shift * H."""
         coeffs = self.intt(evals)
-        return self.field.mul(coeffs, self.powers(pow(shift, -1, self.field.p)))
+        return self._mul(coeffs, self.powers(pow(shift, -1, self.field.p)))
 
     # ------------------------------------------------------------- evaluation
 

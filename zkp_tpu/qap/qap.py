@@ -144,9 +144,14 @@ class QAP:
         a_g = d.coset_ntt(a_c, g)
         b_g = d.coset_ntt(b_c, g)
         c_g = d.coset_ntt(c_c, g)
-        num = f.sub(f.mul(a_g, b_g), c_g)
         z_inv = pow(d.vanishing_on_coset(g), -1, f.p)
-        h_g = f.mul(num, f.const(z_inv, shape=(1,)))
+        if d._use_kernels():
+            kf = d._kf()
+            num = kf.mul_sub(a_g, b_g, c_g)            # fused Pallas kernel
+            h_g = kf.mul(num, jnp.broadcast_to(f.const(z_inv, shape=(1,)), num.shape))
+        else:
+            num = f.sub(f.mul(a_g, b_g), c_g)
+            h_g = f.mul(num, f.const(z_inv, shape=(1,)))
         return d.coset_intt(h_g, g)
 
     def is_satisfied(self, z) -> bool:
