@@ -369,3 +369,165 @@ class KGroup:
                           out_rows=[3 * R, 1, 3 * R, 1, 1])
         nacc, nkey, emit, ekey, evalid = call(carry[0], carry[1], A_key)
         return (nacc, nkey), (emit, ekey, evalid)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_scan(self, A_key):
+        """The FULL MSM blocked run scan as ONE Pallas call.
+
+        A_key: (B, 2R+2, S, 128) time-major sorted affine blocks with the key
+        row appended.  The sequential TPU grid iterates t = 0..B-1, carrying
+        (acc, current key) in VMEM scratch; per step it emits the previous
+        run's partial sum.  Returns (emits (B,3R,S,128), ekeys (B,1,S,128),
+        evalid (B,1,S,128), facc (3R,S,128), fkey (1,S,128)).
+        """
+        R, k = self.R, self.k
+        B, _, S, _ = A_key.shape
+
+        def kern(a_ref, emit_ref, ek_ref, ev_ref, facc_ref, fkey_ref,
+                 acc_s, key_s):
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                # initialize: acc = infinity (1, 1, 0), key = SENTINEL
+                one = self.fl.one_mont
+                for r_ in range(3 * R):
+                    acc_s[r_] = jnp.zeros_like(acc_s[r_])
+                for li, v in enumerate(one):
+                    acc_s[li] = jnp.full_like(acc_s[li], np.uint32(v))        # X c0
+                    acc_s[R + li] = jnp.full_like(acc_s[R + li], np.uint32(v))  # Y c0
+                key_s[0] = jnp.full_like(key_s[0], SENTINEL)
+
+            acc = (k.load(acc_s, 0), k.load(acc_s, R), k.load(acc_s, 2 * R))
+            ckey = key_s[0]
+            xq = k.load(a_ref[0], 0)
+            yq = k.load(a_ref[0], R)
+            inf2 = a_ref[0][2 * R] != 0
+            key = a_ref[0][2 * R + 1]
+            same = key == ckey
+            eX, eY, eZ = _pmadd(k, acc, xq, yq, inf2)
+            one = k.one(eX)
+            zero = k.zero(eX)
+            fX = k.select(inf2, one, xq)
+            fY = k.select(inf2, one, yq)
+            fZ = k.select(inf2, zero, one)
+            nX = k.select(same, eX, fX)
+            nY = k.select(same, eY, fY)
+            nZ = k.select(same, eZ, fZ)
+            # emit previous run (the pre-update accumulator)
+            for r_ in range(3 * R):
+                emit_ref[0, r_] = acc_s[r_]
+            ek_ref[0, 0] = ckey
+            ev_ref[0, 0] = ((~same) & (ckey != SENTINEL)).astype(jnp.uint32)
+            for idx, row in enumerate(k.flatten(nX) + k.flatten(nY) + k.flatten(nZ)):
+                acc_s[idx] = row
+            key_s[0] = key
+
+            @pl.when(i == B - 1)
+            def _():
+                for r_ in range(3 * R):
+                    facc_ref[r_] = acc_s[r_]
+                fkey_ref[0] = key_s[0]
+
+        out = pl.pallas_call(
+            kern,
+            grid=(B,),
+            in_specs=[pl.BlockSpec((1, 2 * R + 2, S, 128),
+                                   lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(
+                pl.BlockSpec((1, 3 * R, S, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, S, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, S, 128), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * R, S, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, S, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, 3 * R, S, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((B, 1, S, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((B, 1, S, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((3 * R, S, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((1, S, 128), jnp.uint32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3 * R, S, 128), jnp.uint32),
+                pltpu.VMEM((1, S, 128), jnp.uint32),
+            ],
+            interpret=_interpret(),
+        )(A_key)
+        return out
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def weighted_scan(self, slabs):
+        """Per-level slab scan of the weighted bucket sum as ONE Pallas call.
+
+        slabs: (m, 3R, Sg, 128), slab j holding lanes [j*G, (j+1)*G).
+        Computes (C, wc) with C = sum_j slab_j and wc = sum_j j*slab_j by
+        the reversed running-sum trick (grid iterates j = m-1 .. 0; wc
+        accumulates run for j >= 1).
+        """
+        R, k = self.R, self.k
+        m, _, Sg, _ = slabs.shape
+
+        def kern(s_ref, c_ref, w_ref, run_s, wc_s):
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                one = self.fl.one_mont
+                for r_ in range(3 * R):
+                    run_s[r_] = jnp.zeros_like(run_s[r_])
+                    wc_s[r_] = jnp.zeros_like(wc_s[r_])
+                for li, v in enumerate(one):
+                    for base in (0, R):
+                        run_s[base + li] = jnp.full_like(run_s[base + li], np.uint32(v))
+                        wc_s[base + li] = jnp.full_like(wc_s[base + li], np.uint32(v))
+
+            run = (k.load(run_s, 0), k.load(run_s, R), k.load(run_s, 2 * R))
+            slab = (k.load(s_ref[0], 0), k.load(s_ref[0], R), k.load(s_ref[0], 2 * R))
+            nX, nY, nZ = _padd(k, run, slab)
+            for idx, row in enumerate(k.flatten(nX) + k.flatten(nY) + k.flatten(nZ)):
+                run_s[idx] = row
+
+            @pl.when(i < m - 1)          # slab index j = m-1-i >= 1
+            def _():
+                wc = (k.load(wc_s, 0), k.load(wc_s, R), k.load(wc_s, 2 * R))
+                nrun = (k.load(run_s, 0), k.load(run_s, R), k.load(run_s, 2 * R))
+                wX, wY, wZ = _padd(k, wc, nrun)
+                for idx, row in enumerate(k.flatten(wX) + k.flatten(wY) + k.flatten(wZ)):
+                    wc_s[idx] = row
+
+            @pl.when(i == m - 1)
+            def _():
+                for r_ in range(3 * R):
+                    c_ref[r_] = run_s[r_]
+                    w_ref[r_] = wc_s[r_]
+
+        out = pl.pallas_call(
+            kern,
+            grid=(m,),
+            in_specs=[pl.BlockSpec((1, 3 * R, Sg, 128),
+                                   lambda i: (m - 1 - i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(
+                pl.BlockSpec((3 * R, Sg, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * R, Sg, 128), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((3 * R, Sg, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((3 * R, Sg, 128), jnp.uint32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((3 * R, Sg, 128), jnp.uint32),
+                pltpu.VMEM((3 * R, Sg, 128), jnp.uint32),
+            ],
+            interpret=_interpret(),
+        )(slabs)
+        return out
