@@ -82,7 +82,7 @@ if got != expected:
     sys.exit(1)
 
 # ---- perf at 2^17 and 2^20
-for logn, c, B in ((17, 14, 128), (20, 16, 128)):
+for logn, c in ((17, 14), (20, 16)):
     Np = 1 << logn
     reps = Np // N
     xs_b = jnp.tile(xs, (reps, 1))
@@ -91,12 +91,12 @@ for logn, c, B in ((17, 14, 128), (20, 16, 128)):
     scal_b = fr.encode([int.from_bytes(rng.bytes(40), "little") % r
                         for _ in range(Np)], mont=False)
     t0 = time.time()
-    out = msm(xs_b, ys_b, inf_b, scal_b, c=c, B=B)
+    out = msm(xs_b, ys_b, inf_b, scal_b, c=c)
     fence(out)
     print(f"msm 2^{logn} c={c} compile+first: {time.time()-t0:.1f}s", flush=True)
     for _ in range(2):
         t0 = time.time()
-        out = msm(xs_b, ys_b, inf_b, scal_b, c=c, B=B)
+        out = msm(xs_b, ys_b, inf_b, scal_b, c=c)
         fence(out)
         dt = time.time() - t0
         print(f"msm 2^{logn}: {dt*1e3:.0f} ms -> {Np/dt/1e6:.3f} M points/s", flush=True)

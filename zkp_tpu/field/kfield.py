@@ -134,6 +134,69 @@ class KField:
             out_shape=jax.ShapeDtypeStruct(ka.shape, jnp.uint32))(ka, kb, kc)
         return self._from_k(out, N0)
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def mul_const(self, a, c_int: int):
+        """a * const (const given in standard form as a python int; the
+        Montgomery product a*c*R^-1 makes this from_mont when c == 1)."""
+        from .limbs import const_limbs, mul_cols
+        fl, L = self.fl, self.L
+        cl = const_limbs(int(c_int), L)
+
+        def kern(a_ref, o_ref):
+            x = [a_ref[i] for i in range(L)]
+            y = [jnp.full_like(x[0], jnp.uint32(v)) for v in cl]
+            out = fl.mul(x, y)
+            for i in range(L):
+                o_ref[i] = out[i]
+
+        N = a.shape[0]
+        a, N0 = self._pad(a)
+        ka = self._to_k(a)
+        S = ka.shape[1]
+        st = min(self.st, S)
+        spec = pl.BlockSpec((self.L, st, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kern, grid=(S // st,), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(ka.shape, jnp.uint32))(ka)
+        return self._from_k(out, N0)
+
+    def from_mont(self, a):
+        return self.mul_const(a, 1)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def reduce_wide(self, limbs):
+        """Reduce carried (N, m<=2L) 16-bit limb values mod p (fused kernel:
+        Montgomery reduce + scale back by R^2).  Drop-in for Fp.reduce_wide."""
+        fl, L = self.fl, self.L
+        m = limbs.shape[1]
+        assert m <= 2 * L
+
+        def kern(a_ref, o_ref):
+            cols = [a_ref[i] for i in range(m)]
+            zero = jnp.zeros_like(cols[0])
+            cols = cols + [zero] * (2 * L - m)
+            t = fl.mont_reduce_cols(cols)            # S * R^-1 mod p
+            r2 = [jnp.full_like(zero, jnp.uint32(v)) for v in fl.r2_limbs]
+            out = fl.mul(t, r2)                      # * R^2 * R^-1 = S mod p
+            for i in range(L):
+                o_ref[i] = out[i]
+
+        N = limbs.shape[0]
+        limbs, N0 = self._pad(limbs)
+        Np = limbs.shape[0]
+        ka = jnp.transpose(limbs, (1, 0)).reshape(m, Np // 128, 128)
+        S = ka.shape[1]
+        st = min(self.st, S)
+        in_spec = pl.BlockSpec((m, st, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((self.L, st, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kern, grid=(S // st,), in_specs=[in_spec], out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((self.L, S, 128), jnp.uint32))(ka)
+        return self._from_k(out, N0)
+
     # ------------------------------------------------------------ butterfly
 
     @functools.partial(jax.jit, static_argnums=0)

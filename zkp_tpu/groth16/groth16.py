@@ -369,7 +369,8 @@ class Prover:
     for microseconds of work.
     """
 
-    KERNEL_MIN_N = 4096   # below this the sort/bucket pipeline loses anyway
+    KERNEL_MIN_N = 129    # above the naive cutoff, always kernelize on TPU
+                          # (the XLA Pippenger graph costs minutes of compile)
 
     def __init__(self, ops: CurveOps):
         self.ops = ops
@@ -400,7 +401,13 @@ class Prover:
             if not skip_validation:
                 witness.validate()
         z = witness.device()
-        z_std = fr.from_mont(z)
+        import jax as _jax
+        if _jax.default_backend() == "tpu" and z.shape[0] >= 512:
+            from ..field.kfield import kfield
+            _from_mont = kfield(fr.p, fr.n).from_mont
+        else:
+            _from_mont = fr.from_mont
+        z_std = _from_mont(z)
         npub = qap.num_public
 
         r_blind, s_blind = fr.random_ints(seed, 2)
@@ -408,7 +415,7 @@ class Prover:
         # H coefficients (degree <= n-2)
         with tm.stage("quotient_ntt") as hh:
             h = qap.compute_h(z)
-            h_std = fr.from_mont(h)[: qap.n - 1]
+            h_std = _from_mont(h)[: qap.n - 1]
             hh["out"] = h_std
 
         with tm.stage("msm_a_g1") as hh:

@@ -151,11 +151,17 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128):
         ckeys = jnp.where(e_val & (e_keys != 0), e_keys, SENTINEL)
         ckeys, cperm = jax.lax.sort_key_val(
             ckeys, jnp.arange(Bp * G, dtype=jnp.uint32))
-        ckeys = ckeys[:Scap]
-        part = jnp.take(e_rows, cperm[:Scap], axis=0)               # (Scap, 3R)
+        take_n = min(Scap, Bp * G)
+        ckeys = ckeys[:take_n]
+        part = jnp.take(e_rows, cperm[:take_n], axis=0)             # (take_n, 3R)
+        inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]           # (1, 3R)
+        if take_n < Scap:   # klayout wants 1024-lane multiples
+            ckeys = jnp.concatenate(
+                [ckeys, jnp.full((Scap - take_n,), SENTINEL, jnp.uint32)])
+            part = jnp.concatenate(
+                [part, jnp.tile(inf_row, (Scap - take_n, 1))], axis=0)
         dead = ckeys == SENTINEL
         # dead payloads -> infinity (identity for adds)
-        inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]           # (1, 3R)
         part = jnp.where(dead[:, None], inf_row, part)
 
         # segment fold to run heads (scatter-free), klayout throughout
@@ -214,8 +220,12 @@ class MSMKernel:
              inf.astype(jnp.uint32)[:, None],
              jnp.zeros((N, pw - w), jnp.uint32)], axis=1)
 
-    def __call__(self, xs, ys, inf, scalar_limbs, c: int = 16, B: int = 128):
+    def __call__(self, xs, ys, inf, scalar_limbs, c: int = 16, B: int | None = None):
         N = xs.shape[0]
+        if B is None:
+            # cap the run-scan lane block at S = G/128 <= 16: the fused kernel
+            # holds (2R+2 + 2*3R)-row blocks in VMEM (16M limit)
+            B = max(128, -(-N // 2048))
         blk = 128 * B
         Npad = -(-N // blk) * blk
         pa = self.pack(xs, ys, inf)

@@ -83,11 +83,17 @@ class QAP:
 
     # --------------------------------------------------------- sparse matvec
 
+    def _use_kernels(self) -> bool:
+        return jax.default_backend() == "tpu"
+
     def _lazy_segment_reduce(self, prods, seg_ids, num_segments):
         """Limb-wise uint32 segment sum of Montgomery products + wide reduce."""
         f = self.fr
         acc = jax.ops.segment_sum(prods, seg_ids, num_segments=num_segments)
         carried, _ = f._carry(acc, f.n + 2)
+        if self._use_kernels() and num_segments >= 512:
+            from ..field.kfield import kfield
+            return kfield(f.p, f.n).reduce_wide(carried)
         return f.reduce_wide(carried)
 
     def _spmv_impl(self, z, name: str, by_col: bool):
@@ -100,7 +106,11 @@ class QAP:
         gather_idx = cols if not by_col else rows
         seg_idx = rows if not by_col else cols
         out_len = self.n if not by_col else self.num_variables
-        prods = f.mul(coeffs, z[gather_idx])
+        if self._use_kernels() and coeffs.shape[0] >= 512:
+            from ..field.kfield import kfield
+            prods = kfield(f.p, f.n).mul(coeffs, z[gather_idx])
+        else:
+            prods = f.mul(coeffs, z[gather_idx])
         return self._lazy_segment_reduce(prods, seg_idx, out_len)
 
     # ------------------------------------------------------------ public API
