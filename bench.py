@@ -69,17 +69,24 @@ def main():
         xs, ys = jnp.asarray(d["xs"]), jnp.asarray(d["ys"])
         log(f"points loaded from cache in {time.time()-t0:.1f}s")
     else:
-        from zkp_tpu.curve.fixed_base import FixedBaseTable
         ks = fr.random(seed=11, shape=(n,), mont=False)
-        tab = FixedBaseTable(g1, ops.g1_gen_affine, c=8, nbits=fr.nbits + 1)
-        chunk = min(n, 1 << 14)
-        mul = jax.jit(lambda s: g1.to_affine(tab.scalar_mul(s))[:2])
-        xs_np = np.empty((n, fq.n), dtype=np.uint32)
-        ys_np = np.empty((n, fq.n), dtype=np.uint32)
-        for i in range(0, n, chunk):
-            cx, cy = mul(ks[i:i + chunk])
-            xs_np[i:i + chunk] = np.asarray(cx)
-            ys_np[i:i + chunk] = np.asarray(cy)
+        if platform == "tpu":
+            from zkp_tpu.msm.msm_tpu import FixedBaseKernel
+            fbk = FixedBaseKernel(ops, "g1")
+            P = fbk(ks)                      # one kernelized pass, all lanes
+            xs, ys, _ = g1.to_affine(P)
+            xs_np, ys_np = np.asarray(xs), np.asarray(ys)
+        else:
+            from zkp_tpu.curve.fixed_base import FixedBaseTable
+            tab = FixedBaseTable(g1, ops.g1_gen_affine, c=8, nbits=fr.nbits + 1)
+            chunk = min(n, 1 << 14)
+            mul = jax.jit(lambda s: g1.to_affine(tab.scalar_mul(s))[:2])
+            xs_np = np.empty((n, fq.n), dtype=np.uint32)
+            ys_np = np.empty((n, fq.n), dtype=np.uint32)
+            for i in range(0, n, chunk):
+                cx, cy = mul(ks[i:i + chunk])
+                xs_np[i:i + chunk] = np.asarray(cx)
+                ys_np[i:i + chunk] = np.asarray(cy)
         xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
         np.savez(cache, xs=xs_np, ys=ys_np)
         log(f"points generated in {time.time()-t0:.1f}s")

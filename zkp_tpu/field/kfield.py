@@ -200,6 +200,41 @@ class KField:
     # ------------------------------------------------------------ butterfly
 
     @functools.partial(jax.jit, static_argnums=0)
+    def butterfly_k(self, a, b, w):
+        """(a + b*w, a - b*w) on klayout-flat (L, M) arrays (M % 128 == 0).
+
+        The klayout-resident NTT uses this to avoid the two relayouts per
+        stage the (N, L)-convention butterfly pays.
+        """
+        fl, L = self.fl, self.L
+
+        def kern(a_ref, b_ref, w_ref, s_ref, d_ref):
+            x = [a_ref[i] for i in range(L)]
+            y = [b_ref[i] for i in range(L)]
+            tw = [w_ref[i] for i in range(L)]
+            t = fl.mul(y, tw)
+            s = fl.add(x, t)
+            d = fl.sub(x, t)
+            for i in range(L):
+                s_ref[i] = s[i]
+                d_ref[i] = d[i]
+
+        M = a.shape[1]
+        S = M // 128
+        st = min(self.st, S)
+        while S % st:
+            st -= 1
+        ka = a.reshape(L, S, 128)
+        kb = b.reshape(L, S, 128)
+        kw = w.reshape(L, S, 128)
+        spec = pl.BlockSpec((L, st, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+        ss, dd = pl.pallas_call(
+            kern, grid=(S // st,), in_specs=[spec] * 3, out_specs=(spec, spec),
+            out_shape=(jax.ShapeDtypeStruct(ka.shape, jnp.uint32),) * 2)(ka, kb, kw)
+        return ss.reshape(L, M), dd.reshape(L, M)
+
+    @functools.partial(jax.jit, static_argnums=0)
     def butterfly(self, a, b, w):
         """(a + b*w, a - b*w) elementwise on (N, L); the DIT NTT stage core."""
         fl, L = self.fl, self.L

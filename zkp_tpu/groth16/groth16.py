@@ -162,7 +162,16 @@ def generate_crs(ops: CurveOps, qap: QAP, params: SetupParams) -> CRS:
         std(l_scal[npub + 1:]), std(ic_scal[: npub + 1]),
         fr.encode(h_ints, mont=False) if h_ints else fr.zeros((0,)),
     ], axis=0)
-    P1 = ops.g1_fixed_base().scalar_mul(scal_g1)
+
+    import jax as _jax
+    use_kernels = _jax.default_backend() == "tpu" and scal_g1.shape[0] >= 1024
+    if use_kernels:
+        from ..msm.msm_tpu import FixedBaseKernel
+        fb1 = FixedBaseKernel(ops, "g1")
+        fb2 = FixedBaseKernel(ops, "g2")
+        P1 = fb1(scal_g1)
+    else:
+        P1 = ops.g1_fixed_base().scalar_mul(scal_g1)
     x1, y1, i1 = _affine_arrays(ops.g1, P1)
 
     V = qap.num_variables
@@ -179,7 +188,10 @@ def generate_crs(ops: CurveOps, qap: QAP, params: SetupParams) -> CRS:
 
     # G2 batch: [beta, gamma, delta] + B
     scal_g2 = jnp.concatenate([fr.encode([b, g, d], mont=False), std(b_s)], axis=0)
-    P2 = ops.g2_fixed_base().scalar_mul(scal_g2)
+    if use_kernels:
+        P2 = fb2(scal_g2)
+    else:
+        P2 = ops.g2_fixed_base().scalar_mul(scal_g2)
     x2, y2, i2 = _affine_arrays(ops.g2, P2)
     beta_g2 = tuple(t[0] for t in (x2, y2, i2))
     gamma_g2 = tuple(t[1] for t in (x2, y2, i2))

@@ -197,6 +197,69 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128):
     return kg.from_klayout(acc)[:1]                                 # (1, 3R)
 
 
+class FixedBaseKernel:
+    """Kernelized fixed-base windowed scalar-mul (trusted-setup workhorse).
+
+    Wraps a curve.fixed_base.FixedBaseTable: the window table is packed as
+    256B-aligned affine rows; each scalar costs nwin gathers + nwin Pallas
+    mixed adds (sequential fori, batched over all N lanes).
+    """
+
+    def __init__(self, curve_ops, which: str = "g1", st: int = 8):
+        self.ops = curve_ops
+        self.which = which
+        fq = curve_ops.fq
+        self.kg = KGroup(curve_ops.params.q, fq.n, which, st=st)
+        tab = (curve_ops.g1_fixed_base() if which == "g1"
+               else curve_ops.g2_fixed_base())
+        self.c = tab.c
+        self.nwin = tab.nwin
+        R = self.kg.R
+        nrows = tab.tx.shape[0] * tab.tx.shape[1]
+        w = 2 * R + 1
+        pw = -(-w // 64) * 64
+        self.table = jnp.concatenate([
+            tab.tx.reshape(nrows, R), tab.ty.reshape(nrows, R),
+            tab.tinf.reshape(nrows, 1).astype(jnp.uint32),
+            jnp.zeros((nrows, pw - w), jnp.uint32)], axis=1)
+
+    def __call__(self, scalar_limbs):
+        """(N, nl) standard-form scalars -> jacobian tuple of (N, ...) arrays."""
+        kg = self.kg
+        R = kg.R
+        N = scalar_limbs.shape[0]
+        blk = 128 * kg.st
+        Npad = -(-N // blk) * blk
+        if Npad != N:
+            scalar_limbs = jnp.concatenate(
+                [scalar_limbs,
+                 jnp.zeros((Npad - N, scalar_limbs.shape[1]), jnp.uint32)], axis=0)
+        out = _fixed_base_impl(kg, self.table, scalar_limbs,
+                               c=self.c, nwin=self.nwin)
+        X, Y, Z = out[:, :R], out[:, R:2 * R], out[:, 2 * R:]
+        sd = (2, self.ops.fq.n) if self.which == "g2" else (self.ops.fq.n,)
+        return (X[:N].reshape((N,) + sd), Y[:N].reshape((N,) + sd),
+                Z[:N].reshape((N,) + sd))
+
+
+@functools.partial(jax.jit, static_argnames=("kg", "c", "nwin"))
+def _fixed_base_impl(kg: KGroup, table, scalar_limbs, c: int, nwin: int):
+    N = scalar_limbs.shape[0]
+    R = kg.R
+    S = N // 128
+    digs = jnp.stack([extract_digits(scalar_limbs, w, c)
+                      for w in range(nwin)], axis=1)        # (N, nwin)
+
+    def body(w, acc):
+        idx = digs[:, w] * jnp.uint32(nwin) + jnp.uint32(w)
+        rows = jnp.take(table, idx, axis=0)                  # (N, PW)
+        A = kg.to_klayout(rows[:, :2 * R + 1])
+        return kg.add_mixed(acc, A)
+
+    acc = jax.lax.fori_loop(0, nwin, body, kg.jac_infinity(S))
+    return kg.from_klayout(acc)
+
+
 class MSMKernel:
     """User entry: (xs, ys, inf, scalars) in the fp.py conventions -> jac tuple."""
 

@@ -102,6 +102,8 @@ class Domain:
         N, L = self.n, f.n
         assert x.shape[-2] == N, f"expected (..., {N}, {L})"
         batch = x.shape[:-2]
+        if (not batch) and self._use_kernels() and N >= 2048:
+            return self._transform_klayout(x, tw)
         x = jnp.take(x, self._perm, axis=-2)
         kf = self._kf() if self._use_kernels() else None
         for s in range(1, self.log_n + 1):
@@ -132,6 +134,34 @@ class Domain:
         if self.n == 1:
             return coeffs
         return self._transform(coeffs, self._tw_fwd)
+
+    def _transform_klayout(self, x, tw):
+        """Limb-major (klayout-resident) transform: ONE transpose in and out;
+        every stage is one fused Pallas butterfly on (L, N/2) flat arrays.
+
+        Pairing/recombination are pure lane-axis reshape/slice/concat on the
+        (L, N) array -- no (N, L) <-> (L, N) relayout per stage.
+        """
+        f = self.field
+        N, L = self.n, f.n
+        kf = self._kf()
+        x = jnp.take(x, self._perm, axis=-2)
+        xk = jnp.transpose(x, (1, 0))                 # (L, N)
+        twk = jnp.transpose(tw, (1, 0))               # (L, N/2)
+        for s in range(1, self.log_n + 1):
+            m = 1 << s
+            half = m // 2
+            stride = (N // 2) // half
+            w = twk[:, ::stride]                      # (L, half)
+            xv = xk.reshape(L, N // m, m)
+            a = xv[:, :, :half].reshape(L, N // 2)
+            b = xv[:, :, half:].reshape(L, N // 2)
+            wf = jnp.broadcast_to(w[:, None, :], (L, N // m, half)).reshape(L, N // 2)
+            ss, dd = kf.butterfly_k(a, b, wf)
+            xk = jnp.concatenate(
+                [ss.reshape(L, N // m, half), dd.reshape(L, N // m, half)],
+                axis=2).reshape(L, N)
+        return jnp.transpose(xk, (1, 0))
 
     def _mul(self, a, b):
         """Elementwise field mul routed to the Pallas kernel on TPU."""
