@@ -285,12 +285,15 @@ class MSMKernel:
 
     def __call__(self, xs, ys, inf, scalar_limbs, c: int = 16, B: int | None = None):
         N = xs.shape[0]
+        # bucket the padded size to powers of two (floor 2^14) so one compiled
+        # module serves every MSM of a prove (each new shape costs minutes of
+        # XLA:TPU compile); padding points are infinity, so results are exact
+        Npad = max(1 << 14, 1 << (int(N - 1).bit_length()))
         if B is None:
             # cap the run-scan lane block at S = G/128 <= 16: the fused kernel
             # holds (2R+2 + 2*3R)-row blocks in VMEM (16M limit)
-            B = max(128, -(-N // 2048))
-        blk = 128 * B
-        Npad = -(-N // blk) * blk
+            B = max(128, -(-Npad // 2048))
+        assert Npad % (128 * B) == 0
         pa = self.pack(xs, ys, inf)
         if Npad != N:
             pad = jnp.zeros((Npad - N, pa.shape[1]), jnp.uint32)
