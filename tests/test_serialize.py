@@ -85,13 +85,15 @@ def test_key_io_roundtrip(tmp_path):
     from zkp_tpu.examples import cubic_circuit
     from zkp_tpu.groth16 import keys_io
     from zkp_tpu.groth16.groth16 import (
-        Prover, SetupParams, Verifier, Witness, generate_crs)
+        Prover, SetupParams, Verifier, Witness, generate_crs_host)
     from zkp_tpu.qap.qap import QAP
 
     ops = curve_ops("bls12_381")
     r1cs, assignment = cubic_circuit()
     qap = QAP.from_r1cs(ops.params, r1cs)
-    crs = generate_crs(ops, qap, SetupParams.random(ops.params, 77))
+    # host-only setup: the device fixed-base path is covered by test_groth16 /
+    # the TPU scripts; XLA:CPU explodes (>100GB) compiling it cold
+    crs = generate_crs_host(ops, qap, SetupParams.random(ops.params, 77))
     prefix = str(tmp_path / "keys")
     pk_path, vk_path = keys_io.save_crs(crs, prefix)
     assert os.path.exists(pk_path) and os.path.exists(vk_path)

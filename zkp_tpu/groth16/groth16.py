@@ -125,7 +125,16 @@ class CRS:
 
 def generate_crs(ops: CurveOps, qap: QAP, params: SetupParams) -> CRS:
     """Trusted setup from a QAP (reference CRS::generate_from_qap,
-    setup/lib.rs:141-268, with the 2.9 corrections)."""
+    setup/lib.rs:141-268, with the 2.9 corrections).
+
+    On TPU the group exponentiations run as batched fixed-base Pallas
+    kernels; elsewhere (and for tiny circuits) the host oracle computes
+    bit-identical keys -- XLA:CPU needs minutes and tens of GB to compile
+    the device path, for no speedup at test scale.
+    """
+    import jax as _jax
+    if _jax.default_backend() != "tpu":
+        return generate_crs_host(ops, qap, params)
     fr = ops.fr
     r = fr.p
     params.validate(r)
