@@ -565,6 +565,13 @@ class Verifier:
         if bool(icinf[0]):
             return False
 
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            # O(1) work: the host-oracle pairing avoids the multi-minute
+            # XLA:CPU compile of the Miller-loop graph (the device engine is
+            # exercised on TPU and by tests/test_pairing tower/TPU suites)
+            return self._verify_host(vk, proof, (icx, icy))
+
         ax, ay = proof.a
         cx, cy = proof.c
         (bx0, bx1), (by0, by1) = proof.b
@@ -578,6 +585,30 @@ class Verifier:
         xq = jnp.stack([bx, vk.beta_g2[0], vk.gamma_g2[0], vk.delta_g2[0]])
         yq = jnp.stack([by, vk.beta_g2[1], vk.gamma_g2[1], vk.delta_g2[1]])
         return self.engine.pairing_check(xp, yp, xq, yq)
+
+    def _verify_host(self, vk: VerificationKey, proof: Proof, ic_aff) -> bool:
+        from ..ref.pyref import CurveRef, Fq2
+        ops = self.ops
+        fq = ops.fq
+        q = ops.params.q
+        oracle = CurveRef(ops.params)
+        icx, icy = ic_aff
+        ic = (int(fq.decode(icx[0])), int(fq.decode(icy[0])))
+
+        def g2pt(t):
+            cx, cy = fq.decode(t[0]), fq.decode(t[1])
+            return (Fq2(q, int(cx[0]), int(cx[1])), Fq2(q, int(cy[0]), int(cy[1])))
+
+        alpha = (int(fq.decode(vk.alpha_g1[0])), int(fq.decode(vk.alpha_g1[1])))
+        beta2, gamma2, delta2 = (g2pt(vk.beta_g2), g2pt(vk.gamma_g2),
+                                 g2pt(vk.delta_g2))
+        b = (Fq2(q, *proof.b[0]), Fq2(q, *proof.b[1]))
+        from ..ref.pyref import Fq12
+        out = oracle.multi_pairing(
+            [proof.a, oracle.g1_neg(alpha), oracle.g1_neg(ic),
+             oracle.g1_neg(proof.c)],
+            [b, beta2, gamma2, delta2])
+        return out == Fq12.one(q, oracle.xi)
 
 
 class BatchVerifier:
@@ -601,6 +632,9 @@ class BatchVerifier:
         ref_scalars = fr.random_ints(seed, len(proofs), nonzero=True)
         if any(p.a is None or p.b is None or p.c is None for p in proofs):
             return False
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return self._verify_batch_host(vk, proofs, public_inputs, ref_scalars)
         g1 = ops.g1
 
         # t_i A_i (affine via oracle-free device scalar mul), and the sums
@@ -647,3 +681,44 @@ class BatchVerifier:
         xq = jnp.concatenate([bx, jnp.stack([vk.beta_g2[0], vk.gamma_g2[0], vk.delta_g2[0]])])
         yq = jnp.concatenate([by, jnp.stack([vk.beta_g2[1], vk.gamma_g2[1], vk.delta_g2[1]])])
         return self.engine.pairing_check(xp, yp, xq, yq, inf_mask=infp)
+
+    def _verify_batch_host(self, vk, proofs, public_inputs, ref_scalars) -> bool:
+        """Host-oracle fold (O(#proofs) tiny EC work; avoids XLA:CPU compiles)."""
+        from ..ref.pyref import CurveRef, Fq2, Fq12
+        ops = self.ops
+        fq, fr = ops.fq, ops.fr
+        q = ops.params.q
+        oracle = CurveRef(ops.params)
+
+        def g2pt(t):
+            cx, cy = fq.decode(t[0]), fq.decode(t[1])
+            return (Fq2(q, int(cx[0]), int(cx[1])), Fq2(q, int(cy[0]), int(cy[1])))
+
+        icx, icy, ici = (np.asarray(fq.decode(vk.ic_g1[0])),
+                         np.asarray(fq.decode(vk.ic_g1[1])),
+                         np.asarray(vk.ic_g1[2]))
+        ic_pts = [None if bool(i) else (int(x), int(y))
+                  for x, y, i in zip(icx, icy, ici)]
+        alpha = (int(fq.decode(vk.alpha_g1[0])), int(fq.decode(vk.alpha_g1[1])))
+        beta2, gamma2, delta2 = (g2pt(vk.beta_g2), g2pt(vk.gamma_g2),
+                                 g2pt(vk.delta_g2))
+
+        g1s, g2s = [], []
+        sumC = sumIC = None
+        t_total = 0
+        for t, proof, pub in zip(ref_scalars, proofs, public_inputs):
+            if len(pub) != vk.num_public:
+                return False
+            g1s.append(oracle.g1_mul(t, proof.a))
+            g2s.append((Fq2(q, *proof.b[0]), Fq2(q, *proof.b[1])))
+            ic = ic_pts[0]
+            for x, pt in zip(pub, ic_pts[1:]):
+                ic = oracle.g1_add(ic, oracle.g1_mul(int(x) % fr.p, pt))
+            sumIC = oracle.g1_add(sumIC, oracle.g1_mul(t, ic))
+            sumC = oracle.g1_add(sumC, oracle.g1_mul(t, proof.c))
+            t_total = (t_total + t) % fr.p
+        g1s += [oracle.g1_neg(oracle.g1_mul(t_total, alpha)),
+                oracle.g1_neg(sumIC), oracle.g1_neg(sumC)]
+        g2s += [beta2, gamma2, delta2]
+        out = oracle.multi_pairing(g1s, g2s)
+        return out == Fq12.one(q, oracle.xi)
