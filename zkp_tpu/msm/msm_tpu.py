@@ -283,8 +283,13 @@ class MSMKernel:
              inf.astype(jnp.uint32)[:, None],
              jnp.zeros((N, pw - w), jnp.uint32)], axis=1)
 
-    def __call__(self, xs, ys, inf, scalar_limbs, c: int = 16, B: int | None = None):
+    def __call__(self, xs, ys, inf, scalar_limbs, c: int | None = None,
+                 B: int | None = None):
         N = xs.shape[0]
+        if c is None:
+            # Pippenger window heuristic; >= 7 keeps the bucket table >= one
+            # klayout lane block
+            c = int(min(16, max(8, N.bit_length() - 4)))
         # bucket the padded size to powers of two (floor 2^14) so one compiled
         # module serves every MSM of a prove (each new shape costs minutes of
         # XLA:TPU compile); padding points are infinity, so results are exact
