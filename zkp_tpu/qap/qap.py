@@ -119,7 +119,13 @@ class QAP:
         """A, B, C evaluated on the domain: three (n, L) mont arrays.
 
         z: (num_variables, L) mont assignment (z[0] = 1).
+
+        On CPU the monolithic jit is evaluated eagerly: XLA:CPU's LLVM
+        backend needs tens of GB to compile the fused limb graphs, while the
+        per-op jits inside fp.py compile in seconds each.
         """
+        if not self._use_kernels():
+            return self._eval_vectors_impl(z)
         return self._eval_jit(z)
 
     def _eval_vectors_impl(self, z):
@@ -139,8 +145,11 @@ class QAP:
         """Quotient H = (A.B - C)/Z as (n, L) coefficients (top 2 limbs zero).
 
         deg H <= n - 2; the returned array has n slots with the last
-        coefficient identically zero for valid witnesses.
+        coefficient identically zero for valid witnesses.  Eager on CPU
+        (see eval_vectors).
         """
+        if not self._use_kernels():
+            return self._compute_h_impl(z)
         return self._h_jit(z)
 
     def _compute_h_impl(self, z):
