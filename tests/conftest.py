@@ -10,10 +10,13 @@ single-client tunnel and concurrent test processes deadlock on it.
 import os
 import sys
 
+_USE_TPU = os.environ.get("ZKP_TESTS_TPU", "") == "1"  # opt-in hardware runs
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+if not _USE_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # persistent compile cache: the limb-arithmetic graphs are big; don't recompile
 # them on every pytest invocation.  Shared with __graft_entry__/bench.py
 # (repo-local) so test runs, the driver's dryrun, and the bench all reuse
@@ -27,7 +30,8 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
