@@ -183,13 +183,7 @@ class Weierstrass:
     def scalar_mul(self, P, scalar_limbs):
         """Batched double-and-add: scalars (..., nl) uint32 standard-form limbs."""
         k = self.k
-        nl = scalar_limbs.shape[-1]
-        bits = []
-        for li in range(nl - 1, -1, -1):
-            limb = scalar_limbs[..., li]
-            for j in range(15, -1, -1):
-                bits.append((limb >> j) & 1)
-        bits = jnp.stack(bits, axis=0)  # (nbits, ...)
+        bits = self._scalar_bits(scalar_limbs)
 
         Xb, Yb, Zb = P
         batch = bits.shape[1:]
@@ -198,6 +192,37 @@ class Weierstrass:
         def body(acc, bit):
             acc = self.double(acc)
             added = self.add(acc, (Xb, Yb, Zb))
+            acc = tuple(k.select(bit, a2, a1) for a1, a2 in zip(acc, added))
+            return acc, None
+
+        acc, _ = jax.lax.scan(body, acc0, bits)
+        return acc
+
+    @staticmethod
+    def _scalar_bits(scalar_limbs):
+        """(..., nl) 16-bit limbs -> (nbits, ...) bit array, MSB first."""
+        nl = scalar_limbs.shape[-1]
+        bits = []
+        for li in range(nl - 1, -1, -1):
+            limb = scalar_limbs[..., li]
+            for j in range(15, -1, -1):
+                bits.append((limb >> j) & 1)
+        return jnp.stack(bits, axis=0)
+
+    def scalar_mul_affine(self, xq, yq, q_inf, scalar_limbs):
+        """Double-and-add against an AFFINE base: mixed adds only.
+
+        ~17% fewer field muls in the scan body than ``scalar_mul`` -- this is
+        the small-N MSM path, where XLA:CPU compile time of the body is what
+        the driver's multi-chip dryrun budget is spent on.
+        """
+        k = self.k
+        bits = self._scalar_bits(scalar_limbs)
+        acc0 = self.infinity(tuple(bits.shape[1:]))
+
+        def body(acc, bit):
+            acc = self.double(acc)
+            added = self.add_mixed(acc, xq, yq, q_inf=q_inf)
             acc = tuple(k.select(bit, a2, a1) for a1, a2 in zip(acc, added))
             return acc, None
 

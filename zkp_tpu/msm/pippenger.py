@@ -54,6 +54,8 @@ def extract_digits(scalar_limbs, w: int, c: int):
     nl = scalar_limbs.shape[-1]
     bitpos = w * c
     li = bitpos // 16
+    if li >= nl:
+        return jnp.zeros(scalar_limbs.shape[:-1], dtype=jnp.uint32)
     off = bitpos % 16
     d = scalar_limbs[..., li] >> off
     have = 16 - off
@@ -62,6 +64,39 @@ def extract_digits(scalar_limbs, w: int, c: int):
         d = d | (scalar_limbs[..., li] << have)
         have += 16
     return d & jnp.uint32((1 << c) - 1)
+
+
+def signed_digits(scalar_limbs, c: int, nbits: int | None = None):
+    """Signed-window recoding: digits in [-(2^(c-1)-1), 2^(c-1)].
+
+    Returns ``(keys, negs, nwin)`` with ``keys[w]`` = |digit| in
+    [0, 2^(c-1)] and ``negs[w]`` = 1 where the digit is negative, both
+    (nwin, N) u32, LSB window first.  Halves the Pippenger bucket count:
+    negative digits contribute the NEGATED point (y -> -y), which is free
+    for short-Weierstrass groups.
+
+    ``nbits`` bounds the scalar values (< 2^nbits); an extra carry window
+    is emitted only when the top window could overflow 2^(c-1).
+    """
+    nl = scalar_limbs.shape[-1]
+    if nbits is None:
+        nbits = 16 * nl
+    nwin = -(-nbits // c)
+    if nbits - (nwin - 1) * c == c:
+        nwin += 1  # top digit can reach 2^(c-1)+carry; give the carry room
+    half = jnp.uint32(1 << (c - 1))
+    full = jnp.uint32(1 << c)
+    keys, negs = [], []
+    carry = None
+    for w in range(nwin):
+        t = extract_digits(scalar_limbs, w, c)
+        if carry is not None:
+            t = t + carry
+        carry = (t > half).astype(jnp.uint32)
+        s_abs = jnp.where(carry != 0, full - t, t)
+        keys.append(s_abs)
+        negs.append(carry & (s_abs != 0).astype(jnp.uint32))
+    return jnp.stack(keys), jnp.stack(negs), nwin
 
 
 def _roll0(x, shift):
@@ -217,8 +252,7 @@ def _msm_impl(curve: Weierstrass, xs, ys, inf, scalar_limbs, c: int, block: int)
         # this size and ~50x less HLO than the bucket pipeline -- XLA:CPU
         # compile time of the full Pippenger graph is minutes, which the
         # driver's dryrun budget cannot afford.
-        P = curve.from_affine(xs, ys, inf=inf)
-        prods = curve.scalar_mul(P, scalar_limbs)
+        prods = curve.scalar_mul_affine(xs, ys, inf, scalar_limbs)
         return curve.reduce_sum(prods)
     nl = scalar_limbs.shape[-1]
     nbits = 16 * nl
