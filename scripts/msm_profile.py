@@ -1,18 +1,24 @@
-"""Per-phase timing of the kernelized MSM window pipeline at 2^20."""
+"""Per-phase timing of the kernelized MSM window pipeline at 2^20.
+
+Mirrors msm_tpu.msm_tpu's window_body phase by phase (signed digits,
+boundary-only fold) with realistic key distributions, so each phase's cost
+can be attributed.  Run on TPU hardware.
+"""
 import time, sys, os, functools
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax, jax.numpy as jnp
 import numpy as np
 
 from zkp_tpu.curve.curves import curve_ops
 from zkp_tpu.curve.pkernels import KGroup, SENTINEL
-from zkp_tpu.msm.msm_tpu import (MSMKernel, _kroll, _mask_k, _weighted_total,
-                                 _reduce_lanes)
-from zkp_tpu.msm.pippenger import extract_digits
+from zkp_tpu.msm.msm_tpu import (_kroll, _mask_k, _weighted_total, _lane0,
+                                 _negate_y)
+from zkp_tpu.msm.pippenger import signed_digits
 
 ops = curve_ops("bls12_381")
 fq, fr = ops.fq, ops.fr
@@ -22,107 +28,144 @@ R = kg.R
 def fence(out):
     return jax.device_get(jax.tree.leaves(out)[0].ravel()[:1])
 
-def timed(name, f, *a, iters=2):
+def timed(name, f, *a, iters=3):
     fence(f(*a))
     best = 1e9
     for _ in range(iters):
         t0 = time.time(); fence(f(*a)); best = min(best, time.time() - t0)
-    print(f"{name:<38s} {best*1e3:9.1f} ms", flush=True)
+    print(f"{name:<40s} {best*1e3:9.2f} ms", flush=True)
     return best
 
 N = 1 << 20
-c, B = 16, 128
+c, B = 16, 512
 G = N // B
 S = G // 128
-nb = 1 << c
+half = 1 << (c - 1)
+Scap = -(-(min(N, half) + G) // 1024) * 1024
+Bcap = min(-(-2 * G // 1024) * 1024, Scap)
+Bc = Bcap // 128
 rng = np.random.default_rng(0)
+PW = -(-(2 * R + 1) // 64) * 64
 
-pa = jnp.asarray(rng.integers(0, 1 << 16, size=(N, 2 * R + 1), dtype=np.uint32))
+pa = jnp.asarray(rng.integers(0, 1 << 16, size=(N, PW), dtype=np.uint32))
 scal = jnp.asarray(rng.integers(0, 1 << 16, size=(N, fr.n), dtype=np.uint32))
-digits = extract_digits(scal, 0, c)
+keys_lsb, negs_lsb, nwin = jax.jit(functools.partial(signed_digits, c=c, nbits=255))(scal)
+print(f"N=2^20 c={c} B={B} G={G} nwin={nwin} Scap={Scap} Bcap={Bcap}", flush=True)
+digits = keys_lsb[0]
+negs = negs_lsb[0]
+
+timed("signed digit recode (all windows)",
+      jax.jit(functools.partial(signed_digits, c=c, nbits=255)), scal)
 
 # 1. sort
 f_sort = jax.jit(lambda d: jax.lax.sort_key_val(d, jnp.arange(N, dtype=jnp.uint32)))
-timed("sort digits (2^20)", f_sort, digits)
+timed("sort digits", f_sort, digits)
 keys, perm = f_sort(digits)
 
-# 2. gather
-f_g = jax.jit(lambda pa, perm: jnp.take(pa, perm, axis=0))
-timed("gather (2^20, 49)", f_g, pa, perm)
-rows = f_g(pa, perm)
+# 2. gather + negate
+f_g = jax.jit(lambda pa, perm, negs: jnp.concatenate(
+    [jnp.take(pa, perm, axis=0)[:, :R],
+     _negate_y(kg, jnp.take(pa, perm, axis=0)[:, R:2 * R],
+               jnp.take(negs, perm, axis=0)),
+     jnp.take(pa, perm, axis=0)[:, 2 * R:]], axis=1))
+f_g0 = jax.jit(lambda pa, perm: jnp.take(pa, perm, axis=0))
+timed("gather rows only", f_g0, pa, perm)
+timed("gather rows + negate_y", f_g, pa, perm, negs)
+rows = f_g(pa, perm, negs)
 
-# 3. relayout to time-major klayout
-def relayout(rows, keys):
-    rows_t = rows.reshape(G, B, 2 * R + 1).transpose(1, 2, 0)
+# 3. relayout
+def f_rel(rows, keys):
+    rows_t = rows.reshape(G, B, PW).transpose(1, 2, 0)[:, :2 * R + 1]
     keys_t = keys.reshape(G, B).T[:, None, :]
     A_key = jnp.concatenate([rows_t, keys_t], axis=1)
     return A_key.reshape(B, 2 * R + 2, S, 128)
-f_rl = jax.jit(relayout)
-timed("relayout in (B,2R+2,S,128)", f_rl, rows, keys)
-A_key = f_rl(rows, keys)
+f_rel = jax.jit(f_rel)
+timed("relayout to time-major klayout", f_rel, rows, keys)
+A_key = f_rel(rows, keys)
 
 # 4. run scan
-def runscan(A_key):
-    acc0 = kg.jac_infinity(S)
-    ck0 = jnp.full((1, S, 128), SENTINEL, dtype=jnp.uint32)
-    (facc, fkey), (emits, ekeys, evalid) = jax.lax.scan(kg.run_step, (acc0, ck0), A_key)
-    return facc, emits
-f_rs = jax.jit(runscan)
-timed(f"run scan (B={B} x {G} lanes)", f_rs, A_key)
-
-# 4b. one run_step kernel alone
-acc0 = kg.jac_infinity(S)
-ck0 = jnp.full((1, S, 128), SENTINEL, dtype=jnp.uint32)
-one = A_key[0]
-f_1 = jax.jit(lambda a, ck, x: kg.run_step((a, ck), x))
-t1 = timed("single run_step", f_1, acc0, ck0, one, iters=3)
+timed("run_scan kernel (N adds)", kg.run_scan, A_key)
+emits, ekeys, evalid, facc, fkey = kg.run_scan(A_key)
 
 # 5. emit flatten + compaction
-facc, emits = f_rs(A_key)
-Bp = B + 1
-Scap = -(-(min(N, nb) + G) // 1024) * 1024
-def compact(emits, keys):
-    e_rows = emits.reshape(B, 3 * R, G).transpose(2, 0, 1).reshape(B * G, 3 * R)
-    ckeys = jnp.where(keys[:B * G] != 0, keys[:B * G], SENTINEL)
-    sk, cperm = jax.lax.sort_key_val(ckeys, jnp.arange(B * G, dtype=jnp.uint32))
+def f_comp(emits, ekeys, evalid, facc, fkey):
+    em = jnp.concatenate([emits, facc[None]], axis=0)
+    ek = jnp.concatenate([ekeys, fkey[None]], axis=0)
+    ev_ = jnp.concatenate([evalid, jnp.ones_like(evalid[:1])], axis=0)
+    Bp = B + 1
+    ev = ev_.reshape(Bp, G) != 0
+    first_valid = ev & (jnp.cumsum(ev.astype(jnp.uint32), axis=0) == 1)
+    tpos = jnp.arange(Bp, dtype=jnp.uint32)[:, None]
+    boundary = first_valid | (tpos == jnp.uint32(B))
+    e_rows = em.reshape(Bp, 3 * R, G).transpose(2, 0, 1).reshape(Bp * G, 3 * R)
+    e_keys = ek.reshape(Bp, G).T.reshape(Bp * G)
+    e_val = ev.T.reshape(Bp * G)
+    e_bnd = boundary.T.reshape(Bp * G)
+    live = e_val & (e_keys != 0)
+    ckeys = jnp.where(live, e_keys, SENTINEL)
+    ckeys, cperm = jax.lax.sort_key_val(
+        ckeys, jnp.arange(Bp * G, dtype=jnp.uint32))
+    ckeys = ckeys[:Scap]
     part = jnp.take(e_rows, cperm[:Scap], axis=0)
-    return sk[:Scap], part
-f_cp = jax.jit(compact)
-timed("emit flatten+sort+gather", f_cp, emits, digits)
-ck, part = f_cp(emits, digits)
+    bnd = jnp.take(e_bnd, cperm[:Scap], axis=0)
+    return ckeys, part, bnd
+f_comp = jax.jit(f_comp)
+timed("emit flatten + compact sort + takes", f_comp, emits, ekeys, evalid, facc, fkey)
+ckeys, part, bnd = f_comp(emits, ekeys, evalid, facc, fkey)
+inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]
 
-# 6. fold
-Sc = Scap // 128
-def fold(ckeys, part):
-    kv = kg.to_klayout(part)
-    start = jnp.searchsorted(ckeys, ckeys, side="left").astype(jnp.uint32)
-    pos = jnp.arange(Scap, dtype=jnp.uint32)
+# 6. boundary sort + fold
+def f_fold(ckeys, part, bnd):
+    dead = ckeys == SENTINEL
+    part = jnp.where(dead[:, None], inf_row, part)
+    bkeys = jnp.where(bnd & ~dead, ckeys, SENTINEL)
+    bkeys, bperm = jax.lax.sort_key_val(
+        bkeys, jnp.arange(Scap, dtype=jnp.uint32))
+    bkeys = bkeys[:Bcap]
+    bpart = jnp.take(part, bperm[:Bcap], axis=0)
+    bdead = bkeys == SENTINEL
+    bpart = jnp.where(bdead[:, None], inf_row, bpart)
+    kv = kg.to_klayout(bpart)
+    start = jnp.searchsorted(bkeys, bkeys, side="left").astype(jnp.uint32)
+    pos = jnp.arange(Bcap, dtype=jnp.uint32)
     rel = pos - start
-    rounds = int(np.ceil(np.log2(Scap)))
-    def body(i, kv):
+    rounds = int(np.ceil(np.log2(max(Bcap, 2))))
+    def fold_body(i, kv):
         d = (jnp.uint32(1) << i.astype(jnp.uint32))
         src_ok = (rel >= d) & (rel % (2 * d) == d)
-        tgt_ok = jnp.roll(src_ok, -d) & (pos < jnp.uint32(Scap) - d)
-        return kg.add_masked(kv, _kroll(kv, -d), _mask_k(tgt_ok, Sc))
-    return jax.lax.fori_loop(0, rounds, body, kv)
-f_fold = jax.jit(fold)
-timed(f"segment fold ({Scap} x {int(np.ceil(np.log2(Scap)))} rounds)", f_fold, ck, part)
+        tgt_ok = jnp.roll(src_ok, -d) & (pos < jnp.uint32(Bcap) - d)
+        shifted = _kroll(kv, -d)
+        return kg.add_masked(kv, shifted, _mask_k(tgt_ok, Bc))
+    kv = jax.lax.fori_loop(0, rounds, fold_body, kv)
+    return kv, bkeys, start, pos
+f_fold = jax.jit(f_fold)
+timed("boundary sort + fold", f_fold, ckeys, part, bnd)
+kv, bkeys, bstart, bpos = f_fold(ckeys, part, bnd)
 
-# 7. scatter + weighted sum
-inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]
-def wsum(heads, ckeys):
-    pos = jnp.arange(Scap, dtype=jnp.uint32)
-    start = jnp.searchsorted(ckeys, ckeys, side="left").astype(jnp.uint32)
-    is_head = (pos == start) & (ckeys != SENTINEL)
-    tgt = jnp.where(is_head, ckeys, jnp.uint32(nb))
-    buckets = jnp.tile(inf_row, (nb + 1, 1)).at[tgt].set(heads)[:nb]
+# 7. scatters
+def f_scat(ckeys, part, bnd, kv, bkeys, bstart, bpos):
+    dead = ckeys == SENTINEL
+    tgt = jnp.where(~dead & ~bnd, ckeys - 1, jnp.uint32(half))
+    buckets = jnp.tile(inf_row, (half + 1, 1)).at[tgt].set(part)[:half]
+    heads = kg.from_klayout(kv)
+    bdead = bkeys == SENTINEL
+    is_head = (bpos == bstart) & ~bdead
+    btgt = jnp.where(is_head, bkeys - 1, jnp.uint32(half))
+    buckets = jnp.concatenate([buckets, inf_row], axis=0).at[btgt].set(heads)[:half]
+    return buckets
+f_scat = jax.jit(f_scat)
+timed("bucket scatters (complete + heads)", f_scat, ckeys, part, bnd, kv,
+      bkeys, bstart, bpos)
+buckets = f_scat(ckeys, part, bnd, kv, bkeys, bstart, bpos)
+
+# 8. weighted total
+def f_w(buckets):
     kB = kg.to_klayout(buckets)
-    _, W = _weighted_total(kg, kB, nb)
-    return W
-heads = kg.from_klayout(f_fold(ck, part))
-f_ws = jax.jit(wsum)
-timed(f"scatter+weighted sum ({nb} buckets)", f_ws, heads, ck)
+    T, W = _weighted_total(kg, kB, half)
+    return kg.add(_lane0(kg, W), _lane0(kg, T))
+f_w = jax.jit(f_w)
+timed("weighted bucket sum (T + W)", f_w, buckets)
 
-# 8. acc doubling chain
-f_dbl = jax.jit(lambda a: jax.lax.fori_loop(0, c, lambda _, x: kg.double(x), a))
-timed("acc <<= c (16 doubles, 1 lane)", f_dbl, kg.jac_infinity(1))
+# 9. window doubling
+acc = kg.jac_infinity(1)
+timed("double_n(c) between windows", functools.partial(kg.double_n, n=c), acc)

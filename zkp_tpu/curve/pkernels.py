@@ -115,8 +115,14 @@ def _pdouble(k, X, Y, Z):
     return X3, Y3, Z3
 
 
-def _padd(k, P, Q):
-    """add-2007-bl with branch-free complete edge handling."""
+def _padd_fast(k, P, Q):
+    """add-2007-bl with all edge handling EXCEPT the doubling branch.
+
+    Returns (X3, Y3, Z3, is_dbl): lanes where ``is_dbl`` holds carry garbage
+    and must be patched with _pdouble(P) -- kernels gate that patch behind a
+    scalar ``pl.when(jnp.any(is_dbl))`` so the common case pays 16 instead
+    of 23 field muls.
+    """
     X1, Y1, Z1 = P
     X2, Y2, Z2 = Q
     Z1Z1 = k.sqr(Z1)
@@ -139,14 +145,10 @@ def _padd(k, P, Q):
     inf2 = k.is_zero(Z2)
     same_x = k.is_zero(H) & ~inf1 & ~inf2
     same_y = k.is_zero(rhalf)
-    dX, dY, dZ = _pdouble(k, X1, Y1, Z1)
     zero = k.zero(X3)
     one = k.one(X3)
     is_dbl = same_x & same_y
     is_inf_out = same_x & ~same_y
-    X3 = k.select(is_dbl, dX, X3)
-    Y3 = k.select(is_dbl, dY, Y3)
-    Z3 = k.select(is_dbl, dZ, Z3)
     X3 = k.select(is_inf_out, one, X3)
     Y3 = k.select(is_inf_out, one, Y3)
     Z3 = k.select(is_inf_out, zero, Z3)
@@ -156,11 +158,31 @@ def _padd(k, P, Q):
     X3 = k.select(inf2, X1, X3)
     Y3 = k.select(inf2, Y1, Y3)
     Z3 = k.select(inf2, Z1, Z3)
+    return X3, Y3, Z3, is_dbl
+
+
+def _patch_dbl(k, P, out, is_dbl):
+    """Patch the doubling lanes of a fast add result (called under pl.when)."""
+    dX, dY, dZ = _pdouble(k, *P)
+    X3 = k.select(is_dbl, dX, out[0])
+    Y3 = k.select(is_dbl, dY, out[1])
+    Z3 = k.select(is_dbl, dZ, out[2])
     return X3, Y3, Z3
 
 
-def _pmadd(k, P, xq, yq, inf2):
-    """madd-2007-bl (mixed add, Q affine) with complete edge handling."""
+def _any(mask):
+    """Scalar 'any lane set' reduction of a boolean lane array."""
+    return jnp.any(mask)
+
+
+def _padd(k, P, Q):
+    """add-2007-bl with branch-free complete edge handling (eager double)."""
+    X3, Y3, Z3, is_dbl = _padd_fast(k, P, Q)
+    return _patch_dbl(k, P, (X3, Y3, Z3), is_dbl)
+
+
+def _pmadd_fast(k, P, xq, yq, inf2):
+    """madd-2007-bl (mixed add) minus the doubling branch; see _padd_fast."""
     X1, Y1, Z1 = P
     Z1Z1 = k.sqr(Z1)
     U2 = k.mul(xq, Z1Z1)
@@ -179,14 +201,10 @@ def _pmadd(k, P, xq, yq, inf2):
     inf1 = k.is_zero(Z1)
     same_x = k.is_zero(H) & ~inf1 & ~inf2
     same_y = k.is_zero(rhalf)
-    dX, dY, dZ = _pdouble(k, X1, Y1, Z1)
     zero = k.zero(X3)
     one = k.one(X3)
     is_dbl = same_x & same_y
     is_inf_out = same_x & ~same_y
-    X3 = k.select(is_dbl, dX, X3)
-    Y3 = k.select(is_dbl, dY, Y3)
-    Z3 = k.select(is_dbl, dZ, Z3)
     X3 = k.select(is_inf_out, one, X3)
     Y3 = k.select(is_inf_out, one, Y3)
     Z3 = k.select(is_inf_out, zero, Z3)
@@ -196,7 +214,13 @@ def _pmadd(k, P, xq, yq, inf2):
     X3 = k.select(inf2, X1, X3)
     Y3 = k.select(inf2, Y1, Y3)
     Z3 = k.select(inf2, Z1, Z3)
-    return X3, Y3, Z3
+    return X3, Y3, Z3, is_dbl
+
+
+def _pmadd(k, P, xq, yq, inf2):
+    """madd-2007-bl with complete edge handling (eager double)."""
+    X3, Y3, Z3, is_dbl = _pmadd_fast(k, P, xq, yq, inf2)
+    return _patch_dbl(k, P, (X3, Y3, Z3), is_dbl)
 
 
 # ------------------------------------------------------------------ kernels
@@ -277,6 +301,24 @@ class KGroup:
         S = P.shape[1]
         return self._call(kern, [3 * R], S)(P)
 
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def double_n(self, P, n: int):
+        """n successive doublings as ONE kernel (in-kernel loop; saves n-1
+        kernel launches -- the MSM does c of these between windows)."""
+        R, k = self.R, self.k
+
+        def kern(p_ref, o_ref):
+            X = k.load(p_ref, 0)
+            Y = k.load(p_ref, R)
+            Z = k.load(p_ref, 2 * R)
+            for _ in range(n):
+                X, Y, Z = _pdouble(k, X, Y, Z)
+            for i, row in enumerate(k.flatten(X) + k.flatten(Y) + k.flatten(Z)):
+                o_ref[i] = row
+
+        S = P.shape[1]
+        return self._call(kern, [3 * R], S)(P)
+
     @functools.partial(jax.jit, static_argnums=0)
     def add(self, P, Q):
         R, k = self.R, self.k
@@ -284,9 +326,16 @@ class KGroup:
         def kern(p_ref, q_ref, o_ref):
             P_ = (k.load(p_ref, 0), k.load(p_ref, R), k.load(p_ref, 2 * R))
             Q_ = (k.load(q_ref, 0), k.load(q_ref, R), k.load(q_ref, 2 * R))
-            X3, Y3, Z3 = _padd(k, P_, Q_)
+            X3, Y3, Z3, is_dbl = _padd_fast(k, P_, Q_)
             for i, row in enumerate(k.flatten(X3) + k.flatten(Y3) + k.flatten(Z3)):
                 o_ref[i] = row
+
+            @pl.when(_any(is_dbl))
+            def _():
+                Xp, Yp, Zp = _patch_dbl(k, P_, (X3, Y3, Z3), is_dbl)
+                for i, row in enumerate(
+                        k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
+                    o_ref[i] = row
 
         S = P.shape[1]
         return self._call(kern, [3 * R, 3 * R], S)(P, Q)
@@ -300,12 +349,19 @@ class KGroup:
             P_ = (k.load(p_ref, 0), k.load(p_ref, R), k.load(p_ref, 2 * R))
             Q_ = (k.load(q_ref, 0), k.load(q_ref, R), k.load(q_ref, 2 * R))
             en = m_ref[0] != 0
-            X3, Y3, Z3 = _padd(k, P_, Q_)
-            X3 = k.select(en, X3, P_[0])
-            Y3 = k.select(en, Y3, P_[1])
-            Z3 = k.select(en, Z3, P_[2])
+            Xf, Yf, Zf, is_dbl = _padd_fast(k, P_, Q_)
+            X3 = k.select(en, Xf, P_[0])
+            Y3 = k.select(en, Yf, P_[1])
+            Z3 = k.select(en, Zf, P_[2])
             for i, row in enumerate(k.flatten(X3) + k.flatten(Y3) + k.flatten(Z3)):
                 o_ref[i] = row
+
+            @pl.when(_any(is_dbl & en))
+            def _():
+                Xp, Yp, Zp = _patch_dbl(k, P_, (X3, Y3, Z3), is_dbl & en)
+                for i, row in enumerate(
+                        k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
+                    o_ref[i] = row
 
         S = P.shape[1]
         return self._call(kern, [3 * R, 3 * R, 1], S)(P, Q, m)
@@ -320,9 +376,16 @@ class KGroup:
             xq = k.load(a_ref, 0)
             yq = k.load(a_ref, R)
             inf2 = a_ref[2 * R] != 0
-            X3, Y3, Z3 = _pmadd(k, P_, xq, yq, inf2)
+            X3, Y3, Z3, is_dbl = _pmadd_fast(k, P_, xq, yq, inf2)
             for i, row in enumerate(k.flatten(X3) + k.flatten(Y3) + k.flatten(Z3)):
                 o_ref[i] = row
+
+            @pl.when(_any(is_dbl))
+            def _():
+                Xp, Yp, Zp = _patch_dbl(k, P_, (X3, Y3, Z3), is_dbl)
+                for i, row in enumerate(
+                        k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
+                    o_ref[i] = row
 
         S = P.shape[1]
         return self._call(kern, [3 * R, 2 * R + 1], S)(P, A)
@@ -346,7 +409,7 @@ class KGroup:
             inf2 = a_ref[2 * R] != 0
             key = a_ref[2 * R + 1]
             same = key == ckey
-            eX, eY, eZ = _pmadd(k, acc, xq, yq, inf2)
+            eX, eY, eZ, is_dbl = _pmadd_fast(k, acc, xq, yq, inf2)
             one = k.one(eX)
             zero = k.zero(eX)
             # fresh = affine promoted to jacobian (or infinity)
@@ -358,6 +421,14 @@ class KGroup:
             nZ = k.select(same, eZ, fZ)
             for i, row in enumerate(k.flatten(nX) + k.flatten(nY) + k.flatten(nZ)):
                 nacc_ref[i] = row
+
+            @pl.when(_any(is_dbl & same))
+            def _():
+                Xp, Yp, Zp = _patch_dbl(k, acc, (nX, nY, nZ), is_dbl & same)
+                for i, row in enumerate(
+                        k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
+                    nacc_ref[i] = row
+
             nk_ref[0] = key
             for i in range(3 * R):
                 emit_ref[i] = acc_ref[i]
@@ -405,7 +476,7 @@ class KGroup:
             inf2 = a_ref[0][2 * R] != 0
             key = a_ref[0][2 * R + 1]
             same = key == ckey
-            eX, eY, eZ = _pmadd(k, acc, xq, yq, inf2)
+            eX, eY, eZ, is_dbl = _pmadd_fast(k, acc, xq, yq, inf2)
             one = k.one(eX)
             zero = k.zero(eX)
             fX = k.select(inf2, one, xq)
@@ -422,6 +493,14 @@ class KGroup:
             for idx, row in enumerate(k.flatten(nX) + k.flatten(nY) + k.flatten(nZ)):
                 acc_s[idx] = row
             key_s[0] = key
+
+            @pl.when(_any(is_dbl & same))
+            def _():
+                # rare doubling lanes: patch the accumulator written above
+                Xp, Yp, Zp = _patch_dbl(k, acc, (nX, nY, nZ), is_dbl & same)
+                for idx, row in enumerate(
+                        k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
+                    acc_s[idx] = row
 
             @pl.when(i == B - 1)
             def _():
@@ -490,17 +569,31 @@ class KGroup:
 
             run = (k.load(run_s, 0), k.load(run_s, R), k.load(run_s, 2 * R))
             slab = (k.load(s_ref[0], 0), k.load(s_ref[0], R), k.load(s_ref[0], 2 * R))
-            nX, nY, nZ = _padd(k, run, slab)
+            nX, nY, nZ, is_dbl = _padd_fast(k, run, slab)
             for idx, row in enumerate(k.flatten(nX) + k.flatten(nY) + k.flatten(nZ)):
                 run_s[idx] = row
+
+            @pl.when(_any(is_dbl))
+            def _():
+                Xp, Yp, Zp = _patch_dbl(k, run, (nX, nY, nZ), is_dbl)
+                for idx, row in enumerate(
+                        k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
+                    run_s[idx] = row
 
             @pl.when(i < m - 1)          # slab index j = m-1-i >= 1
             def _():
                 wc = (k.load(wc_s, 0), k.load(wc_s, R), k.load(wc_s, 2 * R))
                 nrun = (k.load(run_s, 0), k.load(run_s, R), k.load(run_s, 2 * R))
-                wX, wY, wZ = _padd(k, wc, nrun)
+                wX, wY, wZ, wdbl = _padd_fast(k, wc, nrun)
                 for idx, row in enumerate(k.flatten(wX) + k.flatten(wY) + k.flatten(wZ)):
                     wc_s[idx] = row
+
+                @pl.when(_any(wdbl))
+                def _():
+                    Xp, Yp, Zp = _patch_dbl(k, wc, (wX, wY, wZ), wdbl)
+                    for idx, row in enumerate(
+                            k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
+                        wc_s[idx] = row
 
             @pl.when(i == m - 1)
             def _():

@@ -22,7 +22,37 @@ import jax
 import jax.numpy as jnp
 
 from ..curve.pkernels import KGroup, SENTINEL
-from .pippenger import extract_digits
+from .pippenger import extract_digits, signed_digits
+
+
+def _negate_y(kg: KGroup, y, mask):
+    """Negate packed y-limb rows (N, R) where mask: y -> p - y per Fq half.
+
+    R = L (G1) or 2L (G2: c0 rows then c1 rows -- Fq2 negation negates both
+    components).  y == 0 (infinity padding) stays 0.
+    """
+    L = kg.fl.L
+    p = np.asarray(kg.fl.p_limbs, np.uint32)
+    MASKL = jnp.uint32(0xFFFF)
+    parts = []
+    for h in range(kg.R // L):
+        yy = y[:, h * L:(h + 1) * L]
+        outs = []
+        carry = None
+        for i in range(L):  # p - y == p + (0xFFFF - y) + 1 with ripple carry
+            t = jnp.uint32(int(p[i])) + (MASKL - yy[:, i])
+            if i == 0:
+                t = t + jnp.uint32(1)
+            if carry is not None:
+                t = t + carry
+            outs.append(t & MASKL)
+            carry = t >> 16
+        res = jnp.stack(outs, axis=1)
+        nz = (jnp.sum(yy, axis=1) != 0).astype(jnp.uint32)[:, None]
+        parts.append(res * nz)
+    out = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    m = mask.astype(jnp.uint32)[:, None]
+    return out * m + y * (jnp.uint32(1) - m)
 
 
 def _kroll(karr, shift):
@@ -100,35 +130,53 @@ def _lane0(kg: KGroup, kP):
     return kP[:, :1, :]
 
 
-@functools.partial(jax.jit, static_argnames=("kg", "c", "B"))
-def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128):
+@functools.partial(jax.jit, static_argnames=("kg", "c", "B", "nbits"))
+def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
+            nbits: int | None = None):
     """packed_affine: (N, 2R+1) u32 [x|y|inf]; scalars (N, nl) 16-bit limbs.
 
+    Signed-window Pippenger: digits recoded into [-(2^(c-1)-1), 2^(c-1)]
+    so the bucket table is 2^(c-1) entries (digit k -> slot k-1, weight
+    j+1 = W + T of the weighted/total pair); negative digits gather the
+    negated point (y -> p - y).
+
     Returns a packed jacobian row (1, 3R) = the MSM result.
-    N must be a multiple of 128*B/... (callers pad; see MSMKernel).
+    N must be a multiple of 128*B (callers pad; see MSMKernel).
     """
     N = packed_affine.shape[0]
     R = kg.R
-    nl = scalar_limbs.shape[-1]
-    nwin = -(-16 * nl // c)
     G = N // B
     S = G // 128
-    nb = 1 << c
-    assert c >= 7, "kernelized MSM needs >= 128 buckets (use the small-N path)"
-    Scap = min(N, nb) + G            # compaction bound
+    half = 1 << (c - 1)
+    assert c >= 8, "kernelized MSM needs >= 128 buckets (use the small-N path)"
+    Scap = min(N, half) + G          # compaction bound
     Scap = -(-Scap // 1024) * 1024   # klayout-friendly (128 lanes x st=8)
-    Sc = Scap // 128
 
     inf_col = packed_affine[:, 2 * R] != 0
-    digits_all = jnp.stack(
-        [extract_digits(scalar_limbs, w, c) for w in range(nwin - 1, -1, -1)])
-    digits_all = jnp.where(inf_col[None, :], jnp.uint32(0), digits_all)
+    keys_lsb, negs_lsb, nwin = signed_digits(scalar_limbs, c, nbits=nbits)
+    digits_all = jnp.where(inf_col[None, :], jnp.uint32(0), keys_lsb[::-1])
+    negs_all = negs_lsb[::-1]
 
-    def window_body(acc, digits):
-        # acc <- 2^c acc
-        acc = jax.lax.fori_loop(0, c, lambda _, a: kg.double(a), acc)
+    # boundary-partial capacity: each scan column contributes at most 2
+    # boundary runs (its prefix run and its trailing accumulator), and the
+    # fold only ever runs on this small array (the sorted stream is chunked
+    # CONTIGUOUSLY into columns, so any bucket spanning >1 column consists
+    # solely of boundary runs; any bucket inside one column is a single
+    # complete run that can be scattered directly).
+    Bcap = min(-(-2 * G // 1024) * 1024, Scap)
+    Bc = Bcap // 128
+
+    def window_body(acc, xs):
+        digits, negs = xs
+        # acc <- 2^c acc (one fused kernel: uniform across windows, so the
+        # first window doubles infinity -- harmless)
+        acc = kg.double_n(acc, c)
         keys, perm = jax.lax.sort_key_val(digits, jnp.arange(N, dtype=jnp.uint32))
         rows = jnp.take(packed_affine, perm, axis=0)          # THE gather
+        sneg = jnp.take(negs, perm, axis=0)
+        rows = jnp.concatenate(
+            [rows[:, :R], _negate_y(kg, rows[:, R:2 * R], sneg),
+             rows[:, 2 * R:]], axis=1)
         # time-major klayout: element n -> (g = n // B, t = n % B)
         PW = packed_affine.shape[1]
         rows_t = rows.reshape(G, B, PW).transpose(1, 2, 0)[:, :2 * R + 1]  # (B, 2R+1, G)
@@ -142,58 +190,83 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128):
         ekeys = jnp.concatenate([ekeys, fkey[None]], axis=0)        # (B+1, 1, S, 128)
         evalid = jnp.concatenate(
             [evalid, jnp.ones_like(evalid[:1])], axis=0)
-        # flatten to run order (emit of column g at time t -> flat g*(B+1)+t)
         Bp = B + 1
+        ev = evalid.reshape(Bp, G) != 0
+        # boundary runs: the column's first valid emit (its prefix run, which
+        # may continue the previous column) and the appended trailing
+        # accumulator (may continue into the next column).  Everything else
+        # is a run strictly interior to its column => a COMPLETE bucket sum.
+        first_valid = ev & (jnp.cumsum(ev.astype(jnp.uint32), axis=0) == 1)
+        tpos = jnp.arange(Bp, dtype=jnp.uint32)[:, None]
+        boundary = first_valid | (tpos == jnp.uint32(B))
+        # flatten to run order (emit of column g at time t -> flat g*(B+1)+t)
         e_rows = emits.reshape(Bp, 3 * R, G).transpose(2, 0, 1).reshape(Bp * G, 3 * R)
         e_keys = ekeys.reshape(Bp, G).T.reshape(Bp * G)
-        e_val = evalid.reshape(Bp, G).T.reshape(Bp * G) != 0
+        e_val = ev.T.reshape(Bp * G)
+        e_bnd = boundary.T.reshape(Bp * G)
 
-        ckeys = jnp.where(e_val & (e_keys != 0), e_keys, SENTINEL)
+        live = e_val & (e_keys != 0)
+        ckeys = jnp.where(live, e_keys, SENTINEL)
         ckeys, cperm = jax.lax.sort_key_val(
             ckeys, jnp.arange(Bp * G, dtype=jnp.uint32))
         take_n = min(Scap, Bp * G)
         ckeys = ckeys[:take_n]
         part = jnp.take(e_rows, cperm[:take_n], axis=0)             # (take_n, 3R)
+        bnd = jnp.take(e_bnd, cperm[:take_n], axis=0)
         inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]           # (1, 3R)
-        if take_n < Scap:   # klayout wants 1024-lane multiples
+        if take_n < Scap:
             ckeys = jnp.concatenate(
                 [ckeys, jnp.full((Scap - take_n,), SENTINEL, jnp.uint32)])
             part = jnp.concatenate(
                 [part, jnp.tile(inf_row, (Scap - take_n, 1))], axis=0)
+            bnd = jnp.concatenate([bnd, jnp.zeros((Scap - take_n,), bool)])
         dead = ckeys == SENTINEL
-        # dead payloads -> infinity (identity for adds)
         part = jnp.where(dead[:, None], inf_row, part)
 
-        # segment fold to run heads (scatter-free), klayout throughout
-        kv = kg.to_klayout(part)                                    # (3R, Sc, 128)
-        start = jnp.searchsorted(ckeys, ckeys, side="left").astype(jnp.uint32)
-        pos = jnp.arange(Scap, dtype=jnp.uint32)
+        # complete runs scatter STRAIGHT into the bucket table (unique keys);
+        # digit k -> slot k-1 (k >= 1 -- zero digits were dropped above)
+        tgt = jnp.where(~dead & ~bnd, ckeys - 1, jnp.uint32(half))
+        buckets = jnp.tile(inf_row, (half + 1, 1)).at[tgt].set(part)[:half]
+
+        # compact the boundary runs (<= 2 per column) and fold THOSE only
+        bkeys = jnp.where(bnd & ~dead, ckeys, SENTINEL)
+        bkeys, bperm = jax.lax.sort_key_val(
+            bkeys, jnp.arange(Scap, dtype=jnp.uint32))
+        bkeys = bkeys[:Bcap]
+        bpart = jnp.take(part, bperm[:Bcap], axis=0)                # (Bcap, 3R)
+        bdead = bkeys == SENTINEL
+        bpart = jnp.where(bdead[:, None], inf_row, bpart)
+
+        kv = kg.to_klayout(bpart)                                   # (3R, Bc, 128)
+        start = jnp.searchsorted(bkeys, bkeys, side="left").astype(jnp.uint32)
+        pos = jnp.arange(Bcap, dtype=jnp.uint32)
         rel = pos - start
-        # a bucket contributes at most one partial per column -> max segment
-        # length G, so ceil(log2(G)) fold rounds suffice
-        rounds = int(np.ceil(np.log2(max(G, 2))))
+        rounds = int(np.ceil(np.log2(max(Bcap, 2))))
 
         def fold_body(i, kv):
             d = (jnp.uint32(1) << i.astype(jnp.uint32))
             src_ok = (rel >= d) & (rel % (2 * d) == d)
-            tgt_ok = jnp.roll(src_ok, -d) & (pos < jnp.uint32(Scap) - d)
+            tgt_ok = jnp.roll(src_ok, -d) & (pos < jnp.uint32(Bcap) - d)
             shifted = _kroll(kv, -d)
-            return kg.add_masked(kv, shifted, _mask_k(tgt_ok, Sc))
+            return kg.add_masked(kv, shifted, _mask_k(tgt_ok, Bc))
 
         kv = jax.lax.fori_loop(0, rounds, fold_body, kv)
-        heads = kg.from_klayout(kv)                                 # (Scap, 3R)
-        is_head = (pos == start) & ~dead
-        tgt = jnp.where(is_head, ckeys, jnp.uint32(nb))
-        buckets = jnp.tile(inf_row, (nb + 1, 1)).at[tgt].set(heads)[:nb]
-        buckets = buckets.at[0].set(inf_row[0])                     # weight 0 anyway
+        heads = kg.from_klayout(kv)                                 # (Bcap, 3R)
+        is_head = (pos == start) & ~bdead
+        # boundary-run buckets are disjoint from complete-run buckets, so a
+        # second scatter-set into the same table is exact
+        btgt = jnp.where(is_head, bkeys - 1, jnp.uint32(half))
+        buckets = jnp.concatenate(
+            [buckets, inf_row], axis=0).at[btgt].set(heads)[:half]
 
-        kB = kg.to_klayout(buckets)                                 # (3R, nb/128, 128)
-        _, W = _weighted_total(kg, kB, nb)
-        win = _lane0(kg, W)
+        kB = kg.to_klayout(buckets)                                 # (3R, half/128, 128)
+        # slot j holds the digit-(j+1) bucket: window sum = sum_j (j+1) B_j
+        T, W = _weighted_total(kg, kB, half)
+        win = kg.add(_lane0(kg, W), _lane0(kg, T))
         return kg.add(acc, win), None
 
     acc0 = kg.jac_infinity(1)
-    acc, _ = jax.lax.scan(window_body, acc0, digits_all)
+    acc, _ = jax.lax.scan(window_body, acc0, (digits_all, negs_all))
     return kg.from_klayout(acc)[:1]                                 # (1, 3R)
 
 
@@ -307,7 +380,8 @@ class MSMKernel:
             scalar_limbs = jnp.concatenate(
                 [scalar_limbs,
                  jnp.zeros((Npad - N, scalar_limbs.shape[1]), jnp.uint32)], axis=0)
-        out = msm_tpu(self.kg, pa, scalar_limbs, c=c, B=B)
+        out = msm_tpu(self.kg, pa, scalar_limbs, c=c, B=B,
+                      nbits=self.ops.params.r.bit_length())
         R = self.kg.R
         X, Y, Z = out[0, :R], out[0, R:2 * R], out[0, 2 * R:]
         sd = (2, self.ops.fq.n) if self.which == "g2" else (self.ops.fq.n,)

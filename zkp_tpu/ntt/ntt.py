@@ -70,6 +70,7 @@ class Domain:
         self._tw_inv = jnp.asarray(ints_to_limbs(inv, field.n))
         self._n_inv_mont = jnp.asarray(ints_to_limbs([self.n_inv * R % p], field.n)[0])
         self._pow_cache: dict = {}
+        self._jit_cache: dict = {}
 
     # ------------------------------------------------------------- power tabs
 
@@ -129,10 +130,38 @@ class Domain:
                     [f.add(a, t), f.sub(a, t)], axis=-2).reshape(batch + (N, L))
         return x
 
+    def _jitted(self, kind: str, *extra):
+        """Whole-transform jit (TPU only): an eager stage loop pays one
+        dispatch per op through the device tunnel (~ms each) -- two orders
+        of magnitude over the compute at 2^18.  On CPU the eager per-op
+        path stays: one fused XLA:CPU module over log2(n) stages of limb
+        graphs takes minutes to compile."""
+        key = (kind,) + extra
+        if key not in self._jit_cache:
+            if kind == "ntt":
+                f = lambda x: self._transform(x, self._tw_fwd)
+            elif kind == "intt":
+                f = lambda x: self._mul(self._transform(x, self._tw_inv),
+                                        self._n_inv_mont)
+            elif kind == "coset_ntt":
+                tab = self.powers(extra[0])
+                f = lambda x: self._transform(self._mul(x, tab), self._tw_fwd)
+            elif kind == "coset_intt":
+                itab = self.powers(pow(extra[0], -1, self.field.p))
+                f = lambda x: self._mul(
+                    self._mul(self._transform(x, self._tw_inv),
+                              self._n_inv_mont), itab)
+            else:
+                raise ValueError(kind)
+            self._jit_cache[key] = jax.jit(f)
+        return self._jit_cache[key]
+
     def ntt(self, coeffs):
         """Coefficients -> evaluations at [omega^0 .. omega^(n-1)] (natural order)."""
         if self.n == 1:
             return coeffs
+        if self._use_kernels() and coeffs.ndim == 2:
+            return self._jitted("ntt")(coeffs)
         return self._transform(coeffs, self._tw_fwd)
 
     def _transform_klayout(self, x, tw):
@@ -173,16 +202,22 @@ class Domain:
         """Evaluations -> coefficients."""
         if self.n == 1:
             return evals
+        if self._use_kernels() and evals.ndim == 2:
+            return self._jitted("intt")(evals)
         out = self._transform(evals, self._tw_inv)
         return self._mul(out, self._n_inv_mont)
 
     def coset_ntt(self, coeffs, shift: int):
         """Evaluate on the coset shift * H: scale coeffs by shift^i, then NTT."""
+        if self.n > 1 and self._use_kernels() and coeffs.ndim == 2:
+            return self._jitted("coset_ntt", shift % self.field.p)(coeffs)
         scaled = self._mul(coeffs, self.powers(shift))
         return self.ntt(scaled)
 
     def coset_intt(self, evals, shift: int):
         """Interpolate from evaluations on shift * H."""
+        if self.n > 1 and self._use_kernels() and evals.ndim == 2:
+            return self._jitted("coset_intt", shift % self.field.p)(evals)
         coeffs = self.intt(evals)
         return self._mul(coeffs, self.powers(pow(shift, -1, self.field.p)))
 
