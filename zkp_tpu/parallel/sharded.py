@@ -50,6 +50,28 @@ def make_mesh(n_devices: int | None = None, axis: str = "points") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_fn(curve: Weierstrass, mesh: Mesh, axis: str, c: int, block: int):
+    """Build (once per (curve, mesh, axis, c, block)) the jitted sharded MSM.
+
+    The jitted callable MUST be cached: ``jax.jit`` keys its executable cache
+    on function identity, so re-wrapping a fresh closure per call recompiles
+    the whole limb graph every time (~60 s per call on a 2-vCPU host --
+    the round-1/2 dryrun rc=124 timeouts traced to exactly this).
+    """
+    pspec = P(axis)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(pspec, pspec, pspec, pspec), out_specs=P())
+    def _local(xs, ys, inf, sc):
+        part = _msm_impl(curve, xs, ys, inf, sc, c=c, block=block)
+        gathered = tuple(
+            jax.lax.all_gather(coord, axis) for coord in part)  # (ndev, ...)
+        return curve.reduce_sum(gathered)
+
+    return jax.jit(_local)
+
+
 def sharded_msm(curve: Weierstrass, mesh: Mesh, xs, ys, inf, scalar_limbs,
                 c: int | None = None, block: int | None = None,
                 axis: str | None = None):
@@ -70,18 +92,8 @@ def sharded_msm(curve: Weierstrass, mesh: Mesh, xs, ys, inf, scalar_limbs,
         scalar_limbs = jnp.concatenate(
             [scalar_limbs, jnp.zeros((pad, scalar_limbs.shape[-1]), scalar_limbs.dtype)])
 
-    pspec = P(axis)
-    out_spec = P()
-
-    @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(pspec, pspec, pspec, pspec), out_specs=out_spec)
-    def _local(xs, ys, inf, sc):
-        part = _msm_impl(curve, xs, ys, inf, sc, c=c, block=block)
-        gathered = tuple(
-            jax.lax.all_gather(coord, axis) for coord in part)  # (ndev, ...)
-        return curve.reduce_sum(gathered)
-
-    return jax.jit(_local)(xs, ys, inf, scalar_limbs)
+    return _sharded_msm_fn(curve, mesh, axis, int(c), int(block))(
+        xs, ys, inf, scalar_limbs)
 
 
 class DistNTT:
@@ -135,6 +147,14 @@ class DistNTT:
 
         self._impl = _impl
 
+        # jit ONCE here: re-wrapping a fresh closure per ntt() call would
+        # recompile the whole sharded graph every time (jit caches by
+        # function identity).
+        self._run = jax.jit(functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(ax, None), P(ax, None)),
+            out_specs=P(None, ax))(_impl))
+
     def ntt(self, coeffs):
         """coeffs: (N, L) natural order -> evals (N, L) natural order.
 
@@ -144,16 +164,19 @@ class DistNTT:
         """
         fr = self.fr
         x = coeffs.reshape(self.n2, self.n1, fr.n).swapaxes(0, 1)  # A[j1, j2]
-        ax = self.axis
-
-        @functools.partial(shard_map, mesh=self.mesh,
-                           in_specs=(P(ax, None), P(ax, None)),
-                           out_specs=P(None, ax))
-        def run(xl, twl):
-            return self._impl(xl, twl)
-
-        out = jax.jit(run)(x, self.twiddle)         # C[k1, k2] sharded by k2
+        out = self._run(x, self.twiddle)            # C[k1, k2] sharded by k2
         return out.reshape(self.n, fr.n)
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_intt_fn(curve_params, log_n: int, mesh: Mesh, axis: str):
+    dom = domain_for(curve_params, log_n)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
+    def run(x):
+        return dom.intt(x)
+
+    return jax.jit(run)
 
 
 def batched_intt_sharded(curve_params, log_n: int, mesh: Mesh, batch_arr,
@@ -161,10 +184,4 @@ def batched_intt_sharded(curve_params, log_n: int, mesh: Mesh, batch_arr,
     """Embarrassingly parallel per-polynomial iNTTs sharded over the batch
     axis (the per-variable interpolation workload of QAP::from_r1cs)."""
     axis = axis or mesh.axis_names[0]
-    dom = domain_for(curve_params, log_n)
-
-    @functools.partial(shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis))
-    def run(x):
-        return dom.intt(x)
-
-    return jax.jit(run)(batch_arr)
+    return _batched_intt_fn(curve_params, log_n, mesh, axis)(batch_arr)
