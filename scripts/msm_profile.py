@@ -16,8 +16,7 @@ import numpy as np
 
 from zkp_tpu.curve.curves import curve_ops
 from zkp_tpu.curve.pkernels import KGroup, SENTINEL
-from zkp_tpu.msm.msm_tpu import (_kroll, _mask_k, _weighted_total, _lane0,
-                                 _negate_y)
+from zkp_tpu.msm.msm_tpu import _kroll, _mask_k, _weighted_chunks, _negate_y
 from zkp_tpu.msm.pippenger import signed_digits
 
 ops = curve_ops("bls12_381")
@@ -73,15 +72,16 @@ timed("gather rows only", f_g0, pa, perm)
 timed("gather rows + negate_y", f_g, pa, perm, negs)
 rows = f_g(pa, perm, negs)
 
-# 3. relayout
-def f_rel(rows, keys):
+# 3. relayout (+ key and neg-mask rows; negation happens in the scan kernel)
+def f_rel(rows, keys, negs):
     rows_t = rows.reshape(G, B, PW).transpose(1, 2, 0)[:, :2 * R + 1]
     keys_t = keys.reshape(G, B).T[:, None, :]
-    A_key = jnp.concatenate([rows_t, keys_t], axis=1)
-    return A_key.reshape(B, 2 * R + 2, S, 128)
+    negs_t = negs.reshape(G, B).T[:, None, :].astype(jnp.uint32)
+    A_key = jnp.concatenate([rows_t, keys_t, negs_t], axis=1)
+    return A_key.reshape(B, 2 * R + 3, S, 128)
 f_rel = jax.jit(f_rel)
-timed("relayout to time-major klayout", f_rel, rows, keys)
-A_key = f_rel(rows, keys)
+timed("relayout to time-major klayout", f_rel, rows, keys, negs)
+A_key = f_rel(rows, keys, negs)
 
 # 4. run scan
 timed("run_scan kernel (N adds)", kg.run_scan, A_key)
@@ -158,13 +158,21 @@ timed("bucket scatters (complete + heads)", f_scat, ckeys, part, bnd, kv,
       bkeys, bstart, bpos)
 buckets = f_scat(ckeys, part, bnd, kv, bkeys, bstart, bpos)
 
-# 8. weighted total
-def f_w(buckets):
-    kB = kg.to_klayout(buckets)
-    T, W = _weighted_total(kg, kB, half)
-    return kg.add(_lane0(kg, W), _lane0(kg, T))
+# 8. weighted total: batched over all nwin windows at once (one pass/MSM)
+buckets_all = jnp.broadcast_to(buckets[None], (nwin,) + buckets.shape)
+def f_w(ball):
+    kB = kg.to_klayout(ball.reshape(nwin * half, 3 * R))
+    T_arr, spT, pieces = _weighted_chunks(kg, kB, half)
+    def heads(arr, sp):
+        rows = kg.from_klayout(arr)[: nwin * sp: sp]
+        rows = jnp.concatenate([rows, jnp.zeros((128 - nwin, 3 * R), jnp.uint32)])
+        return kg.to_klayout(rows)
+    win = heads(T_arr, spT)
+    for arr, sp in pieces:
+        win = kg.add(win, heads(arr, sp))
+    return win
 f_w = jax.jit(f_w)
-timed("weighted bucket sum (T + W)", f_w, buckets)
+timed("weighted bucket sums (all windows)", f_w, buckets_all)
 
 # 9. window doubling
 acc = kg.jac_infinity(1)

@@ -17,23 +17,28 @@ if not _USE_TPU and "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 if not _USE_TPU:
     os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent compile cache: the limb-arithmetic graphs are big; don't recompile
-# them on every pytest invocation.  Shared with __graft_entry__/bench.py
-# (repo-local) so test runs, the driver's dryrun, and the bench all reuse
-# the same entries.
+# Persistent compile cache: TPU runs only.  XLA:CPU AOT cache entries embed
+# host CPU features (plus tuning pseudo-features like +prefer-no-gather that
+# never match at load time) and a partially-written entry from an interrupted
+# run SEGFAULTS the whole process on reload (observed round 3) -- for CPU
+# runs the cache is a correctness hazard, not a speedup.
 _REPO_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            ".jax_cache")
-os.makedirs(_REPO_CACHE, exist_ok=True)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _REPO_CACHE)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+if _USE_TPU:
+    os.makedirs(_REPO_CACHE, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _REPO_CACHE)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+else:
+    os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 import jax  # noqa: E402
 
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+else:
+    jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -223,6 +223,31 @@ def _pmadd(k, P, xq, yq, inf2):
     return _patch_dbl(k, P, (X3, Y3, Z3), is_dbl)
 
 
+def _flat_roll_rows(rows, d, Bc: int, lane):
+    """Roll each (Bc, 128) row by -d along the flattened (Bc*128,) lane index.
+
+    Decomposes the flat shift into a sublane rotate + lane rotate + a
+    lane-boundary select: flat index f = s*128 + l, so
+    out[s, l] = in[(s + d1 + (l + d0 >= 128)) % Bc, (l + d0) % 128]
+    with d = d1*128 + d0.  ``d`` may be a traced scalar (dynamic rotate).
+    ``lane`` is a (Bc, 128) uint32 iota along axis 1.  Wrapped lanes carry
+    garbage; callers mask them out.
+    """
+    d = jnp.asarray(d, jnp.int32)
+    d0 = d % 128
+    d1 = (d // 128) % Bc
+    s1 = (Bc - d1) % Bc
+    s2 = (Bc - d1 - 1) % Bc
+    sl = (128 - d0) % 128
+    keep_c1 = lane < (jnp.uint32(128) - d0.astype(jnp.uint32))
+    out = []
+    for A in rows:
+        c1 = pltpu.roll(pltpu.roll(A, s1, axis=0), sl, axis=1)
+        c2 = pltpu.roll(pltpu.roll(A, s2, axis=0), sl, axis=1)
+        out.append(jnp.where(keep_c1, c1, c2))
+    return out
+
+
 # ------------------------------------------------------------------ kernels
 
 class KGroup:
@@ -390,6 +415,50 @@ class KGroup:
         S = P.shape[1]
         return self._call(kern, [3 * R, 2 * R + 1], S)(P, A)
 
+    def _full_specs(self, shapes):
+        """Whole-array VMEM BlockSpecs (no grid) for the fused small kernels."""
+        return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in shapes]
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def fold_tree(self, kv, rounds: int, masks):
+        """Segmented shift-tree fold, ALL rounds fused into one kernel.
+
+        kv: (3R, Bc, 128) klayout jacobian partials sorted by bucket key;
+        masks: (rounds, Bc, 128) u32, masks[i] nonzero where a lane receives
+        lane+2^i.  Equivalent to ``rounds`` iterations of
+        ``add_masked(kv, kroll(kv, -2^i), masks[i])`` but VMEM-resident
+        throughout -- the unfused loop pays a kernel launch + HBM round trip
+        per round (measured ~37 ms/window of the 2^20 MSM; fused ~2 ms).
+        """
+        R, k = self.R, self.k
+        Bc = kv.shape[1]
+
+        def kern(kv_ref, m_ref, o_ref):
+            lane = jax.lax.broadcasted_iota(jnp.uint32, (Bc, 128), 1)
+            rows = [kv_ref[i] for i in range(3 * R)]
+
+            def body(i, rows):
+                sh = _flat_roll_rows(rows, jnp.int32(1) << i, Bc, lane)
+                en = m_ref[i] != 0
+                P_ = (k.load(rows, 0), k.load(rows, R), k.load(rows, 2 * R))
+                Q_ = (k.load(sh, 0), k.load(sh, R), k.load(sh, 2 * R))
+                X3, Y3, Z3 = _padd(k, P_, Q_)   # eager dbl patch: cheap in VMEM
+                X3 = k.select(en, X3, P_[0])
+                Y3 = k.select(en, Y3, P_[1])
+                Z3 = k.select(en, Z3, P_[2])
+                return k.flatten(X3) + k.flatten(Y3) + k.flatten(Z3)
+
+            rows = jax.lax.fori_loop(0, rounds, body, rows)
+            for i, row in enumerate(rows):
+                o_ref[i] = row
+
+        return pl.pallas_call(
+            kern,
+            in_specs=self._full_specs([kv, masks]),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3 * R, Bc, 128), jnp.uint32),
+            interpret=_interpret())(kv, masks)
+
     @functools.partial(jax.jit, static_argnums=0)
     def run_step(self, carry, A_key):
         """One step of the MSM blocked run scan, as a single kernel.
@@ -445,11 +514,14 @@ class KGroup:
     def run_scan(self, A_key):
         """The FULL MSM blocked run scan as ONE Pallas call.
 
-        A_key: (B, 2R+2, S, 128) time-major sorted affine blocks with the key
-        row appended.  The sequential TPU grid iterates t = 0..B-1, carrying
-        (acc, current key) in VMEM scratch; per step it emits the previous
-        run's partial sum.  Returns (emits (B,3R,S,128), ekeys (B,1,S,128),
-        evalid (B,1,S,128), facc (3R,S,128), fkey (1,S,128)).
+        A_key: (B, 2R+3, S, 128) time-major sorted affine blocks with a key
+        row and a negation-mask row appended (y is negated IN-KERNEL where
+        the mask is set -- doing it at the XLA level costs ~10 ms/window of
+        limb arithmetic on HBM-resident (N, R) arrays).  The sequential TPU
+        grid iterates t = 0..B-1, carrying (acc, current key) in VMEM
+        scratch; per step it emits the previous run's partial sum.  Returns
+        (emits (B,3R,S,128), ekeys (B,1,S,128), evalid (B,1,S,128),
+        facc (3R,S,128), fkey (1,S,128)).
         """
         R, k = self.R, self.k
         B, _, S, _ = A_key.shape
@@ -475,6 +547,8 @@ class KGroup:
             yq = k.load(a_ref[0], R)
             inf2 = a_ref[0][2 * R] != 0
             key = a_ref[0][2 * R + 1]
+            negm = a_ref[0][2 * R + 2] != 0
+            yq = k.select(negm, k.neg(yq), yq)
             same = key == ckey
             eX, eY, eZ, is_dbl = _pmadd_fast(k, acc, xq, yq, inf2)
             one = k.one(eX)
@@ -511,7 +585,7 @@ class KGroup:
         out = pl.pallas_call(
             kern,
             grid=(B,),
-            in_specs=[pl.BlockSpec((1, 2 * R + 2, S, 128),
+            in_specs=[pl.BlockSpec((1, 2 * R + 3, S, 128),
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=(
@@ -545,18 +619,23 @@ class KGroup:
     def weighted_scan(self, slabs):
         """Per-level slab scan of the weighted bucket sum as ONE Pallas call.
 
-        slabs: (m, 3R, Sg, 128), slab j holding lanes [j*G, (j+1)*G).
-        Computes (C, wc) with C = sum_j slab_j and wc = sum_j j*slab_j by
-        the reversed running-sum trick (grid iterates j = m-1 .. 0; wc
-        accumulates run for j >= 1).
+        slabs: (nb, m, 3R, Sg, 128): nb independent batches, each of m slabs;
+        slab j of batch b holds that batch's lanes [j*G, (j+1)*G).  For each
+        batch: C = sum_j slab_j and wc = sum_j j*slab_j by the reversed
+        running-sum trick (the grid iterates j = m-1 .. 0 innermost, batches
+        outermost; scratch resets at each batch's first step).  The batch
+        axis exists because one tile must fit VMEM: callers split wide
+        reductions into nb tiles instead of growing Sg (a 32-sublane tile
+        blew the 16 MB scoped-vmem limit).  Returns (C, wc), each
+        (nb, 3R, Sg, 128).
         """
         R, k = self.R, self.k
-        m, _, Sg, _ = slabs.shape
+        nb, m, _, Sg, _ = slabs.shape
 
         def kern(s_ref, c_ref, w_ref, run_s, wc_s):
-            i = pl.program_id(0)
+            j = pl.program_id(1)
 
-            @pl.when(i == 0)
+            @pl.when(j == 0)
             def _():
                 one = self.fl.one_mont
                 for r_ in range(3 * R):
@@ -568,7 +647,8 @@ class KGroup:
                         wc_s[base + li] = jnp.full_like(wc_s[base + li], np.uint32(v))
 
             run = (k.load(run_s, 0), k.load(run_s, R), k.load(run_s, 2 * R))
-            slab = (k.load(s_ref[0], 0), k.load(s_ref[0], R), k.load(s_ref[0], 2 * R))
+            slab = (k.load(s_ref[0][0], 0), k.load(s_ref[0][0], R),
+                    k.load(s_ref[0][0], 2 * R))
             nX, nY, nZ, is_dbl = _padd_fast(k, run, slab)
             for idx, row in enumerate(k.flatten(nX) + k.flatten(nY) + k.flatten(nZ)):
                 run_s[idx] = row
@@ -580,7 +660,7 @@ class KGroup:
                         k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
                     run_s[idx] = row
 
-            @pl.when(i < m - 1)          # slab index j = m-1-i >= 1
+            @pl.when(j < m - 1)          # slab index m-1-j >= 1
             def _():
                 wc = (k.load(wc_s, 0), k.load(wc_s, R), k.load(wc_s, 2 * R))
                 nrun = (k.load(run_s, 0), k.load(run_s, R), k.load(run_s, 2 * R))
@@ -595,27 +675,27 @@ class KGroup:
                             k.flatten(Xp) + k.flatten(Yp) + k.flatten(Zp)):
                         wc_s[idx] = row
 
-            @pl.when(i == m - 1)
+            @pl.when(j == m - 1)
             def _():
                 for r_ in range(3 * R):
-                    c_ref[r_] = run_s[r_]
-                    w_ref[r_] = wc_s[r_]
+                    c_ref[0, r_] = run_s[r_]
+                    w_ref[0, r_] = wc_s[r_]
 
         out = pl.pallas_call(
             kern,
-            grid=(m,),
-            in_specs=[pl.BlockSpec((1, 3 * R, Sg, 128),
-                                   lambda i: (m - 1 - i, 0, 0, 0),
+            grid=(nb, m),
+            in_specs=[pl.BlockSpec((1, 1, 3 * R, Sg, 128),
+                                   lambda b, j: (b, m - 1 - j, 0, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=(
-                pl.BlockSpec((3 * R, Sg, 128), lambda i: (0, 0, 0),
+                pl.BlockSpec((1, 3 * R, Sg, 128), lambda b, j: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * R, Sg, 128), lambda i: (0, 0, 0),
+                pl.BlockSpec((1, 3 * R, Sg, 128), lambda b, j: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((3 * R, Sg, 128), jnp.uint32),
-                jax.ShapeDtypeStruct((3 * R, Sg, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((nb, 3 * R, Sg, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((nb, 3 * R, Sg, 128), jnp.uint32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((3 * R, Sg, 128), jnp.uint32),

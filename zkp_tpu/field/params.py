@@ -167,6 +167,35 @@ def toy_bn() -> CurveParams:
     )
 
 
+# An even smaller (34-bit q, 3 sixteen-bit limbs) BN curve, same recipe as
+# toy_bn (u = -143; q = 36u^4+36u^3+24u^2+6u+1 and r = q - 6u^2 both prime,
+# q = 3 mod 4, v2(r-1) = 8, xi = 1 + 2u sextic nonresidue, M-type twist
+# b' = b*xi, G2 cofactor q - 1 + t).  Exists because the multichip dryrun
+# compiles the full sharded prove graph on a 2-vCPU host and XLA:CPU pass
+# time scales with the limb-graph size (L=3 vs toy_bn's L=5 roughly halves
+# the G2 compile).  Search: scripts/find_toy_curve.py.  NOT secure -- tests.
+
+_TOY3_U = -143
+_TOY3_Q = 0x37B083047
+_TOY3_R = 0x37B065101
+
+
+@functools.lru_cache(maxsize=None)
+def toy_bn3() -> CurveParams:
+    return CurveParams(
+        name="toy_bn3",
+        q=_TOY3_Q,
+        r=_TOY3_R,
+        b_coeff=10,
+        g1_gen=(2, 6750507323),
+        g2_gen=((3951954152, 5972611030), (7732970265, 11864895823)),
+        x_param=_TOY3_U,
+        fq2_nonresidue=(1, 2),  # xi = 1 + 2u ; Fq2 = Fq[u]/(u^2 + 1)
+        cofactor_g1=1,
+        cofactor_g2=0x37B0A0F8D,  # q - 1 + t
+    )
+
+
 def get_curve(name: str) -> CurveParams:
     name = name.lower().replace("-", "_")
     if name in ("bls12_381", "bls12381", "bls"):
@@ -175,4 +204,6 @@ def get_curve(name: str) -> CurveParams:
         return bn254()
     if name in ("toy_bn", "toybn", "toy"):
         return toy_bn()
+    if name in ("toy_bn3", "toybn3", "toy3"):
+        return toy_bn3()
     raise ValueError(f"unknown curve {name}")

@@ -67,67 +67,79 @@ def _mask_k(mask_flat, S):
     return mask_flat.astype(jnp.uint32).reshape(1, S, 128)
 
 
-def _reduce_lanes(kg: KGroup, kP, n: int):
-    """Sum the first n lanes of a klayout jac batch -> lane 0 holds the total."""
+def _reduce_chunks(kg: KGroup, kP, chunk: int, n: int):
+    """Per-chunk lane reduction: lanes are contiguous groups of ``chunk``;
+    the first ``n`` lanes of each group sum into the group's first lane.
+    Shift-tree of masked adds; masks keep groups from mixing."""
     S = kP.shape[1]
     pos = jnp.arange(S * 128, dtype=jnp.uint32)
+    posw = pos % jnp.uint32(chunk)
     r = 1
     while r < n:
-        ok = (pos + r < n) & (pos % (2 * r) == 0)
+        ok = (posw + r < n) & (posw % (2 * r) == 0)
         kP = kg.add_masked(kP, _kroll(kP, -r), _mask_k(ok, S))
         r *= 2
     return kP
 
 
-def _weighted_total(kg: KGroup, kB, n: int):
-    """(T, W) with T = sum_k V_k, W = sum_k k*V_k over n klayout lanes.
+def _weighted_chunks(kg: KGroup, kB, n: int):
+    """Batched per-chunk (T, W): T_c = sum_k V_{c,k}, W_c = sum_k k*V_{c,k}.
 
-    Slab recursion: view lanes as (m slabs) x (G lanes), k = j*G + g.
-    A scan over slabs (contiguous lane slices) gives per-lane column totals
-    C_g = sum_j V_{j,g} and column-weighted Wc_g = sum_j j*V_{j,g}; then
-      W = G * sum_g Wc_g + sum_g g*C_g ,  T = sum_g C_g,
-    recursing on (C, G).  All adds are full-lane Pallas kernels.
-    Returns klayout arrays whose lane 0 holds the results.
+    kB: (3R, S, 128) klayout with lanes = contiguous chunks of n (one chunk
+    per Pippenger window -- this is what lets ONE pass serve all windows;
+    the round-2 code ran the whole reduction once per window, ~8 ms of
+    small-kernel dispatch each).
+
+    Slab recursion per chunk: lanes (j*G + g), a weighted_scan over slabs j
+    gives C_g = sum_j V_jg and wc_g = sum_j j*V_jg; then
+      W = G * sum_g wc_g + sum_g g*C_g ,  T = sum_g C_g,
+    recursing on (C, G).  Returns ``(T, spT, pieces)``: T's chunk heads are
+    spaced ``spT`` lanes apart in T; ``pieces`` is a list of (arr, spacing)
+    whose chunk-head lanes SUM to W_c (deferring the cross-level join to the
+    tiny top-level extraction avoids lane-regridding between levels).
     """
     S = kB.shape[1]
-    assert S * 128 == n or n <= S * 128
+    nch = (S * 128) // n
     if n <= 128:
-        # single block: W via bit decomposition of k (c_small masked reduces)
         pos = jnp.arange(S * 128, dtype=jnp.uint32)
-        T = _reduce_lanes(kg, kB, n)
+        posw = pos % jnp.uint32(n)
+        T = _reduce_chunks(kg, kB, n, n)
+        # W = sum_b 2^b S_b by Horner over bits, MSB first (W <- 2W + S_b):
+        # one reused double kernel and log2(n) doublings total, vs b
+        # doublings per bit and a distinct double_n shape compiled per b
         W = None
-        b = 0
-        while (1 << b) < n:
-            mask = ((pos & (1 << b)) != 0) & (pos < n)
+        for b in reversed(range(max(1, (n - 1).bit_length()))):
+            if W is not None:
+                W = kg.double(W)
+            mask = (posw & (1 << b)) != 0
             sel = jnp.where(mask[None, :].reshape(1, S, 128) != 0, kB,
                             kg.jac_infinity(S))
-            red = _reduce_lanes(kg, sel, n)
-            for _ in range(b):
-                red = kg.double(red)
+            red = _reduce_chunks(kg, sel, n, n)
             W = red if W is None else kg.add(W, red)
-            b += 1
         if W is None:
             W = kg.jac_infinity(S)
-        return T[:, :1, :], W[:, :1, :]   # lane 0 holds the results
+        return T, n, [(W, n)]
 
-    G = max(128, n // 64)     # lanes per slab-scan level (>= one vreg block)
-    m = n // G                # slabs
-    Sg = G // 128
-    # slabs: (m, 3R, Sg, 128); ONE fused Pallas call scans them j = m-1 .. 0
-    xs = kB.reshape(3 * kg.R, m, Sg, 128).swapaxes(0, 1)
-    C, wc = kg.weighted_scan(xs)  # C = sum_j V_j ; wc = sum_{j>=1} j*V_{j,g}
-    T2, Wg = _weighted_total(kg, C, G)     # recurse on columns (S=1 results)
-    # W = G * (sum_g Wc_g)  +  (sum_g g * C_g)
-    WcG = _reduce_lanes(kg, wc, G)[:, :1, :]
-    for _ in range(int(np.log2(G))):
-        WcG = kg.double(WcG)
-    W = kg.add(WcG, Wg)
-    return T2, W
-
-
-def _lane0(kg: KGroup, kP):
-    """Extract lane 0 of a klayout jac batch as a (3R, 1, 128) block."""
-    return kP[:, :1, :]
+    # lanes per slab-scan level: >= one vreg block per chunk; one scan TILE
+    # is capped (weighted_scan buffers must fit the 16 MB scoped VMEM -- a
+    # 32-sublane G1 tile measured 17.95 MB), with extra chunks batched over
+    # the kernel's leading grid axis instead of widening the tile
+    tile_cap = 2048 if kg.R <= 24 else 1024
+    G = max(128, min(n // 64, tile_cap))
+    m = n // G                     # slabs per chunk
+    cb = max(1, min(nch, tile_cap // G))   # chunks per tile
+    nb = nch // cb                 # tile batches
+    R3 = 3 * kg.R
+    # slab j of cb chunks side by side: (nb, m, 3R, cb*G/128, 128)
+    xs = kB.reshape(R3, nb, cb, m, G).transpose(1, 3, 0, 2, 4)
+    xs = xs.reshape(nb, m, R3, (cb * G) // 128, 128)
+    C, wc = kg.weighted_scan(xs)   # (nb, 3R, cb*G/128, 128)
+    C = C.transpose(1, 0, 2, 3).reshape(R3, (nch * G) // 128, 128)
+    wc = wc.transpose(1, 0, 2, 3).reshape(R3, (nch * G) // 128, 128)
+    T2, spT, pieces = _weighted_chunks(kg, C, G)
+    # W += G * (sum_g wc_g)  (heads spaced G apart in wc's lane space)
+    WcG = kg.double_n(_reduce_chunks(kg, wc, G, G), int(np.log2(G)))
+    return T2, spT, pieces + [(WcG, G)]
 
 
 @functools.partial(jax.jit, static_argnames=("kg", "c", "B", "nbits"))
@@ -166,23 +178,20 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
     Bcap = min(-(-2 * G // 1024) * 1024, Scap)
     Bc = Bcap // 128
 
-    def window_body(acc, xs):
+    def window_body(_, xs):
         digits, negs = xs
-        # acc <- 2^c acc (one fused kernel: uniform across windows, so the
-        # first window doubles infinity -- harmless)
-        acc = kg.double_n(acc, c)
         keys, perm = jax.lax.sort_key_val(digits, jnp.arange(N, dtype=jnp.uint32))
         rows = jnp.take(packed_affine, perm, axis=0)          # THE gather
         sneg = jnp.take(negs, perm, axis=0)
-        rows = jnp.concatenate(
-            [rows[:, :R], _negate_y(kg, rows[:, R:2 * R], sneg),
-             rows[:, 2 * R:]], axis=1)
-        # time-major klayout: element n -> (g = n // B, t = n % B)
+        # time-major klayout: element n -> (g = n // B, t = n % B); y is
+        # negated IN the scan kernel (neg-mask row) -- XLA-level limb
+        # negation on the (N, R) gather output costs ~10 ms/window
         PW = packed_affine.shape[1]
         rows_t = rows.reshape(G, B, PW).transpose(1, 2, 0)[:, :2 * R + 1]  # (B, 2R+1, G)
         keys_t = keys.reshape(G, B).T[:, None, :]                   # (B, 1, G)
-        A_key = jnp.concatenate([rows_t, keys_t], axis=1)           # (B, 2R+2, G)
-        A_key = A_key.reshape(B, 2 * R + 2, S, 128)
+        negs_t = sneg.reshape(G, B).T[:, None, :].astype(jnp.uint32)
+        A_key = jnp.concatenate([rows_t, keys_t, negs_t], axis=1)   # (B, 2R+3, G)
+        A_key = A_key.reshape(B, 2 * R + 3, S, 128)
 
         emits, ekeys, evalid, facc, fkey = kg.run_scan(A_key)
         # append trailing run
@@ -199,11 +208,15 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
         first_valid = ev & (jnp.cumsum(ev.astype(jnp.uint32), axis=0) == 1)
         tpos = jnp.arange(Bp, dtype=jnp.uint32)[:, None]
         boundary = first_valid | (tpos == jnp.uint32(B))
-        # flatten to run order (emit of column g at time t -> flat g*(B+1)+t)
-        e_rows = emits.reshape(Bp, 3 * R, G).transpose(2, 0, 1).reshape(Bp * G, 3 * R)
-        e_keys = ekeys.reshape(Bp, G).T.reshape(Bp * G)
-        e_val = ev.T.reshape(Bp * G)
-        e_bnd = boundary.T.reshape(Bp * G)
+        # flatten TIME-major (emit of column g at time t -> flat t*G + g):
+        # the g-major "run order" flatten needs a (Bp,3R,G)->(G,Bp,3R)
+        # transpose measured ~13 ms/window slower than this one; downstream
+        # only needs the four arrays in a CONSISTENT order (the compaction
+        # sort groups equal keys regardless of input order)
+        e_rows = emits.reshape(Bp, 3 * R, G).transpose(0, 2, 1).reshape(Bp * G, 3 * R)
+        e_keys = ekeys.reshape(Bp, G).reshape(Bp * G)
+        e_val = ev.reshape(Bp * G)
+        e_bnd = boundary.reshape(Bp * G)
 
         live = e_val & (e_keys != 0)
         ckeys = jnp.where(live, e_keys, SENTINEL)
@@ -243,14 +256,26 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
         rel = pos - start
         rounds = int(np.ceil(np.log2(max(Bcap, 2))))
 
-        def fold_body(i, kv):
-            d = (jnp.uint32(1) << i.astype(jnp.uint32))
-            src_ok = (rel >= d) & (rel % (2 * d) == d)
-            tgt_ok = jnp.roll(src_ok, -d) & (pos < jnp.uint32(Bcap) - d)
-            shifted = _kroll(kv, -d)
-            return kg.add_masked(kv, shifted, _mask_k(tgt_ok, Bc))
+        # fused shift-tree fold: all rounds in one VMEM-resident kernel when
+        # the working set fits (G1); otherwise one add_masked launch per
+        # round (the launches + HBM round trips measured ~37 ms/window)
+        if 3 * kg.R * Bc * 128 * 4 * 8 <= 14 * 2**20:
+            def mk_mask(i):
+                d = np.uint32(1 << i)
+                src_ok = (rel >= d) & (rel % (2 * d) == d)
+                return jnp.roll(src_ok, -int(d)) & (pos < jnp.uint32(Bcap) - d)
+            masks = jnp.stack([mk_mask(i) for i in range(rounds)])
+            masks = masks.astype(jnp.uint32).reshape(rounds, Bc, 128)
+            kv = kg.fold_tree(kv, rounds, masks)
+        else:
+            def fold_body(i, kv):
+                d = (jnp.uint32(1) << i.astype(jnp.uint32))
+                src_ok = (rel >= d) & (rel % (2 * d) == d)
+                tgt_ok = jnp.roll(src_ok, -d) & (pos < jnp.uint32(Bcap) - d)
+                shifted = _kroll(kv, -d)
+                return kg.add_masked(kv, shifted, _mask_k(tgt_ok, Bc))
 
-        kv = jax.lax.fori_loop(0, rounds, fold_body, kv)
+            kv = jax.lax.fori_loop(0, rounds, fold_body, kv)
         heads = kg.from_klayout(kv)                                 # (Bcap, 3R)
         is_head = (pos == start) & ~bdead
         # boundary-run buckets are disjoint from complete-run buckets, so a
@@ -259,14 +284,43 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
         buckets = jnp.concatenate(
             [buckets, inf_row], axis=0).at[btgt].set(heads)[:half]
 
-        kB = kg.to_klayout(buckets)                                 # (3R, half/128, 128)
-        # slot j holds the digit-(j+1) bucket: window sum = sum_j (j+1) B_j
-        T, W = _weighted_total(kg, kB, half)
-        win = kg.add(_lane0(kg, W), _lane0(kg, T))
-        return kg.add(acc, win), None
+        return None, buckets                                        # (half, 3R)
 
-    acc0 = kg.jac_infinity(1)
-    acc, _ = jax.lax.scan(window_body, acc0, (digits_all, negs_all))
+    # the windows scan builds bucket tables ONLY; the weighted reduction is
+    # hoisted out and batched over all nwin windows at once (chunked lanes),
+    # so its ~100 small-kernel launches amortize 1/nwin instead of per-window
+    _, buckets_all = jax.lax.scan(window_body, None, (digits_all, negs_all))
+    rows_all = buckets_all.reshape(nwin * half, 3 * R)
+    # pad the window/chunk count to a power of two (infinity chunks): the
+    # chunked weighted reduction tiles chunks over the scan batch axis
+    nchp = 1 << (nwin - 1).bit_length()
+    if nchp != nwin:
+        inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]
+        rows_all = jnp.concatenate(
+            [rows_all, jnp.tile(inf_row, ((nchp - nwin) * half, 1))])
+    kBall = kg.to_klayout(rows_all)
+
+    # slot j holds the digit-(j+1) bucket: window sum = W_w + T_w
+    T_arr, spT, pieces = _weighted_chunks(kg, kBall, half)
+
+    def heads(arr, sp):
+        """Strided head extraction -> (3R, 1, 128) klayout, lane w = chunk w."""
+        rows = kg.from_klayout(arr)[: nwin * sp : sp]               # (nwin, 3R)
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((128 - nwin, 3 * R), jnp.uint32)])    # Z=0 pad = inf
+        return kg.to_klayout(rows)
+
+    win = heads(T_arr, spT)
+    for arr, sp in pieces:
+        win = kg.add(win, heads(arr, sp))
+
+    # Horner over windows, MSB first (digits_all is MSB-first): lane w of
+    # ``win`` holds window w's sum; rolling w to lane 0 leaves garbage in
+    # lanes 1.. which never reaches lane 0 (lanes are independent)
+    acc = kg.jac_infinity(1)
+    for w in range(nwin):
+        acc = kg.double_n(acc, c)
+        acc = kg.add(acc, _kroll(win, -w) if w else win)
     return kg.from_klayout(acc)[:1]                                 # (1, 3R)
 
 
@@ -344,17 +398,21 @@ class MSMKernel:
         self.field = curve_ops.fq if which == "g1" else curve_ops.f2
 
     def pack(self, xs, ys, inf):
-        """[x | y | inf | zero-pad] rows, padded to a 64-u32 multiple: TPU
-        row-gather throughput cliffs below 256B rows (measured 2.3 -> 6.4+
-        GB/s at 2^20 going from 49 to 64 u32 columns)."""
+        """[x | y | inf | zero-pad] rows as uint16 (limb values are 16-bit),
+        padded to a 64-u16 multiple.  Row-gather throughput is dtype- and
+        size-sensitive: at 2^20 rows, (N,64)-u16 (128 B) gathers ~15% faster
+        than (N,64)-u32 (256 B) while halving relayout/scan-input bytes;
+        u32 rows below 256 B cliff 2-3x slower (scripts/
+        gather_transpose_bench.py)."""
         N = xs.shape[0]
         R = self.kg.R
         w = 2 * R + 1
         pw = -(-w // 64) * 64
         return jnp.concatenate(
-            [xs.reshape(N, R), ys.reshape(N, R),
-             inf.astype(jnp.uint32)[:, None],
-             jnp.zeros((N, pw - w), jnp.uint32)], axis=1)
+            [xs.reshape(N, R).astype(jnp.uint16),
+             ys.reshape(N, R).astype(jnp.uint16),
+             inf.astype(jnp.uint16)[:, None],
+             jnp.zeros((N, pw - w), jnp.uint16)], axis=1)
 
     def __call__(self, xs, ys, inf, scalar_limbs, c: int | None = None,
                  B: int | None = None):
@@ -374,7 +432,7 @@ class MSMKernel:
         assert Npad % (128 * B) == 0
         pa = self.pack(xs, ys, inf)
         if Npad != N:
-            pad = jnp.zeros((Npad - N, pa.shape[1]), jnp.uint32)
+            pad = jnp.zeros((Npad - N, pa.shape[1]), jnp.uint16)
             pad = pad.at[:, 2 * self.kg.R].set(1)   # padded points = infinity
             pa = jnp.concatenate([pa, pad], axis=0)
             scalar_limbs = jnp.concatenate(
