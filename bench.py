@@ -6,15 +6,21 @@ The reference publishes no numbers (BASELINE.md: "None exist"), so
 an arkworks-class multicore-CPU rate for a 2^20 G1 MSM (~0.3 s), which is
 what the reference stack would deliver on a strong host CPU.
 
-Extra diagnostics (NTT butterflies/s, prove wall-clock) go to stderr;
-stdout carries exactly the one JSON line the driver records.
+Timeout-proof: the final JSON line is emitted from a SIGTERM/SIGALRM/atexit
+handler holding the best number recorded so far, so a driver `timeout` kill
+mid-stage still lands a parsed metric (round 3 lost its number to rc=124).
+Stages run in order of importance under an internal deadline
+(ZKP_BENCH_BUDGET_S, default 1500 s): MSM 2^20 first, then diagnostics
+(NTT butterflies/s, prove wall-clock) to stderr.
 
-Env knobs: ZKP_BENCH_LOG_N (default 20 on TPU, 10 elsewhere),
-ZKP_BENCH_CURVE (bls12_381).
+Extra env knobs: ZKP_BENCH_LOG_N (default 20 on TPU, 10 elsewhere),
+ZKP_BENCH_CURVE (bls12_381), ZKP_BENCH_PROVE=0 to skip the prove stage.
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
 
@@ -22,17 +28,46 @@ import numpy as np
 
 # persistent compile cache (repo-local): Mosaic/XLA compiles of the limb
 # kernels take minutes; cache entries survive across driver invocations.
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_ROOT, ".jax_cache")
 os.makedirs(_CACHE, exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 NOMINAL_BASELINE_PPS = 3.5e6
+T0 = time.time()
+BUDGET = float(os.environ.get("ZKP_BENCH_BUDGET_S", "1500"))
+
+_result = {"metric": "msm_g1_points_per_s", "value": 0.0,
+           "unit": "points/s", "vs_baseline": 0.0}
+_emitted = False
 
 
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    print(f"[{time.time()-T0:7.1f}s]", *a, file=sys.stderr, flush=True)
+
+
+def record(log_n, pps):
+    _result.update({
+        "metric": f"msm_g1_points_per_s_2^{log_n}",
+        "value": round(pps, 1),
+        "vs_baseline": round(pps / NOMINAL_BASELINE_PPS, 4),
+    })
+
+
+def emit(*_args):
+    """Print the ONE stdout JSON line exactly once, then die if signalled."""
+    global _emitted
+    if not _emitted:
+        _emitted = True
+        print(json.dumps(_result), flush=True)
+    if _args:  # called as a signal handler
+        os._exit(0)
+
+
+def time_left():
+    return BUDGET - (time.time() - T0)
 
 
 def fence(out):
@@ -43,7 +78,57 @@ def fence(out):
     return jax.device_get(leaf.ravel()[:1])
 
 
+def get_points(ops, n, curve_name, platform):
+    """n pseudorandom affine points [k_i]G, disk-cached (repo-local first:
+    /tmp can be wiped between driver rounds; .bench_cache is gitignored but
+    persists in the working tree)."""
+    import jax
+    import jax.numpy as jnp
+    fr, fq, g1 = ops.fr, ops.fq, ops.g1
+    log_n = n.bit_length() - 1
+    fname = f"zkp_bench_points_{curve_name}_{log_n}.npz"
+    repo_cache = os.path.join(_ROOT, ".bench_cache")
+    os.makedirs(repo_cache, exist_ok=True)
+    paths = [os.path.join(repo_cache, fname), os.path.join("/tmp", fname)]
+    t0 = time.time()
+    for p in paths:
+        if os.path.exists(p):
+            d = np.load(p)
+            xs, ys = jnp.asarray(d["xs"]), jnp.asarray(d["ys"])
+            log(f"points loaded from {p} in {time.time()-t0:.1f}s")
+            if not os.path.exists(paths[0]):
+                np.savez(paths[0], xs=d["xs"], ys=d["ys"])
+            return xs, ys
+    ks = fr.random(seed=11, shape=(n,), mont=False)
+    if platform == "tpu":
+        from zkp_tpu.msm.msm_tpu import FixedBaseKernel
+        fbk = FixedBaseKernel(ops, "g1")
+        P = fbk(ks)                      # one kernelized pass, all lanes
+        xs, ys, _ = g1.to_affine(P)
+        xs_np, ys_np = np.asarray(xs), np.asarray(ys)
+    else:
+        from zkp_tpu.curve.fixed_base import FixedBaseTable
+        tab = FixedBaseTable(g1, ops.g1_gen_affine, c=8, nbits=fr.nbits + 1)
+        chunk = min(n, 1 << 14)
+        mul = jax.jit(lambda s: g1.to_affine(tab.scalar_mul(s))[:2])
+        xs_np = np.empty((n, fq.n), dtype=np.uint32)
+        ys_np = np.empty((n, fq.n), dtype=np.uint32)
+        for i in range(0, n, chunk):
+            cx, cy = mul(ks[i:i + chunk])
+            xs_np[i:i + chunk] = np.asarray(cx)
+            ys_np[i:i + chunk] = np.asarray(cy)
+    xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
+    np.savez(paths[0], xs=xs_np, ys=ys_np)
+    log(f"points generated in {time.time()-t0:.1f}s")
+    return xs, ys
+
+
 def main():
+    signal.signal(signal.SIGTERM, emit)
+    signal.signal(signal.SIGALRM, emit)
+    signal.alarm(max(60, int(BUDGET)))   # belt and braces
+    atexit.register(emit)
+
     import jax
     import jax.numpy as jnp
 
@@ -51,89 +136,69 @@ def main():
     log_n = int(os.environ.get("ZKP_BENCH_LOG_N", 20 if platform != "cpu" else 10))
     curve_name = os.environ.get("ZKP_BENCH_CURVE", "bls12_381")
     n = 1 << log_n
-    log(f"bench: platform={platform} curve={curve_name} n=2^{log_n}")
+    record(log_n, 0.0)
+    log(f"bench: platform={platform} curve={curve_name} n=2^{log_n} budget={BUDGET:.0f}s")
 
     from zkp_tpu.curve.curves import curve_ops
     from zkp_tpu.msm.pippenger import MSM
 
     ops = curve_ops(curve_name)
-    fr, fq, g1 = ops.fr, ops.fq, ops.g1
-
-    # ---- generate n pseudorandom points as [k_i]G via the fixed-base window
-    # table, in chunks (a full-batch 2^20 double-and-add OOMs a single chip:
-    # every field mul materializes (lanes, 2L) u32 temps).
-    cache = f"/tmp/zkp_bench_points_{curve_name}_{log_n}.npz"
-    t0 = time.time()
-    if os.path.exists(cache):
-        d = np.load(cache)
-        xs, ys = jnp.asarray(d["xs"]), jnp.asarray(d["ys"])
-        log(f"points loaded from cache in {time.time()-t0:.1f}s")
-    else:
-        ks = fr.random(seed=11, shape=(n,), mont=False)
-        if platform == "tpu":
-            from zkp_tpu.msm.msm_tpu import FixedBaseKernel
-            fbk = FixedBaseKernel(ops, "g1")
-            P = fbk(ks)                      # one kernelized pass, all lanes
-            xs, ys, _ = g1.to_affine(P)
-            xs_np, ys_np = np.asarray(xs), np.asarray(ys)
-        else:
-            from zkp_tpu.curve.fixed_base import FixedBaseTable
-            tab = FixedBaseTable(g1, ops.g1_gen_affine, c=8, nbits=fr.nbits + 1)
-            chunk = min(n, 1 << 14)
-            mul = jax.jit(lambda s: g1.to_affine(tab.scalar_mul(s))[:2])
-            xs_np = np.empty((n, fq.n), dtype=np.uint32)
-            ys_np = np.empty((n, fq.n), dtype=np.uint32)
-            for i in range(0, n, chunk):
-                cx, cy = mul(ks[i:i + chunk])
-                xs_np[i:i + chunk] = np.asarray(cx)
-                ys_np[i:i + chunk] = np.asarray(cy)
-        xs, ys = jnp.asarray(xs_np), jnp.asarray(ys_np)
-        np.savez(cache, xs=xs_np, ys=ys_np)
-        log(f"points generated in {time.time()-t0:.1f}s")
+    fr = ops.fr
+    xs, ys = get_points(ops, n, curve_name, platform)
     inf = jnp.zeros((n,), dtype=bool)
     scalars = fr.random(seed=12, shape=(n,), mont=False)
 
-    # ---- MSM timing (Pallas-kernelized path on TPU, generic path elsewhere)
+    # ---- stage 1: MSM (Pallas-kernelized path on TPU, generic elsewhere)
     if platform == "tpu":
         from zkp_tpu.msm.msm_tpu import MSMKernel
         msm = MSMKernel(ops, "g1")
     else:
-        msm = MSM(g1)
+        msm = MSM(ops.g1)
     t0 = time.time()
     out = msm(xs, ys, inf, scalars)
     fence(out)
-    log(f"MSM compile+first run: {time.time()-t0:.1f}s")
+    first = time.time() - t0
+    log(f"MSM compile+first run: {first:.1f}s")
+    record(log_n, n / first)             # provisional: first-run rate
     times = []
     for _ in range(3):
         t0 = time.time()
         out = msm(xs, ys, inf, scalars)
         fence(out)
         times.append(time.time() - t0)
+        record(log_n, n / min(times))    # improves as reps land
     best = min(times)
     pps = n / best
     log(f"MSM 2^{log_n}: best {best*1000:.1f} ms -> {pps:,.0f} points/s")
 
-    # ---- NTT diagnostic
-    try:
-        from zkp_tpu.ntt.ntt import domain_for
-        ntt_log_n = min(log_n, 18)
-        dom = domain_for(ops.params, ntt_log_n)
-        coeffs = fr.random(seed=13, shape=(1 << ntt_log_n,))
-        t0 = time.time(); fence(dom.ntt(coeffs))
-        log(f"NTT compile+first: {time.time()-t0:.1f}s")
-        t0 = time.time(); fence(dom.ntt(coeffs))
-        ntt_t = time.time() - t0
-        bfly = (1 << ntt_log_n) // 2 * ntt_log_n
-        log(f"NTT 2^{ntt_log_n}: {ntt_t*1000:.1f} ms -> {bfly/ntt_t:,.0f} butterflies/s")
-    except Exception as e:  # diagnostics must not kill the primary metric
-        log(f"NTT bench skipped: {e}")
+    # ---- stage 2 (diagnostic): NTT butterflies/s
+    if time_left() > 120:
+        try:
+            from zkp_tpu.ntt.ntt import domain_for
+            ntt_log_n = min(log_n, 18)
+            dom = domain_for(ops.params, ntt_log_n)
+            coeffs = fr.random(seed=13, shape=(1 << ntt_log_n,))
+            t0 = time.time(); fence(dom.ntt(coeffs))
+            log(f"NTT compile+first: {time.time()-t0:.1f}s")
+            t0 = time.time(); fence(dom.ntt(coeffs))
+            ntt_t = time.time() - t0
+            bfly = (1 << ntt_log_n) // 2 * ntt_log_n
+            log(f"NTT 2^{ntt_log_n}: {ntt_t*1000:.1f} ms -> {bfly/ntt_t:,.0f} butterflies/s")
+        except Exception as e:  # diagnostics must not kill the primary metric
+            log(f"NTT bench skipped: {e}")
 
-    print(json.dumps({
-        "metric": f"msm_g1_points_per_s_2^{log_n}",
-        "value": round(pps, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pps / NOMINAL_BASELINE_PPS, 4),
-    }))
+    # ---- stage 3 (diagnostic): Groth16 prove wall-clock (BASELINE.md:27)
+    if platform == "tpu" and time_left() > 300 and \
+            os.environ.get("ZKP_BENCH_PROVE", "1") == "1":
+        try:
+            prove_log_n = int(os.environ.get("ZKP_BENCH_PROVE_LOG_N", "16"))
+            from scripts.prove_bench import run_prove_bench
+            run_prove_bench(curve_name, prove_log_n, log, fence,
+                            deadline=time_left)
+        except Exception as e:
+            log(f"prove bench skipped: {e}")
+
+    emit()
 
 
 if __name__ == "__main__":

@@ -91,10 +91,10 @@ print(f"prove (warm): {time.time()-t0:.1f}s", flush=True)
 print(tm2.report(), flush=True)
 
 ver = Verifier(ops)
-ok = ver.verify(crs.vk, proof, witness.public_inputs())
+ok = ver.verify(crs.vk, proof, witness.public_inputs)
 print(f"verify: {ok}", flush=True)
 assert ok
-bad = ver.verify(crs.vk, proof, [x + 1 for x in witness.public_inputs()])
+bad = ver.verify(crs.vk, proof, [x + 1 for x in witness.public_inputs])
 print(f"verify wrong input rejected: {not bad}", flush=True)
 assert not bad
 print("E2E OK", flush=True)

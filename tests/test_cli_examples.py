@@ -1,4 +1,8 @@
-"""CLI round trip + example circuits end-to-end."""
+"""CLI round trip + example circuits end-to-end.
+
+Runs on the 3-limb toy BN curve (same code paths as production curves; see
+tests/test_groth16.py header for the compile-time rationale).
+"""
 
 import json
 import os
@@ -11,16 +15,18 @@ from zkp_tpu.examples import (
     range_check_circuit, run_example,
 )
 
+TEST_CURVE = os.environ.get("ZKP_TEST_CURVE", "toy_bn3")
+
 
 @pytest.mark.parametrize("builder", [multiplication_circuit, quadratic_circuit,
                                      boolean_circuit, range_check_circuit],
                          ids=["mult", "quad", "bool", "range"])
 def test_examples_prove_and_verify(builder):
-    run_example(builder, verbose=False)
+    run_example(builder, curve_name=TEST_CURVE, verbose=False)
 
 
 def test_circuit_json_roundtrip():
-    r1cs, assignment = cubic_circuit()
+    r1cs, assignment = cubic_circuit(TEST_CURVE)
     d = cli.circuit_to_json(r1cs)
     back = cli.circuit_from_json(d, r1cs.p)
     assert back.num_constraints == r1cs.num_constraints
@@ -31,14 +37,14 @@ def test_circuit_json_roundtrip():
 def test_cli_full_roundtrip(tmp_path, capsys):
     prefix = str(tmp_path / "crs")
     rc = cli.main(["generate-crs", "--num-constraints", "4",
-                   "--output", prefix, "--seed", "5"])
+                   "--output", prefix, "--seed", "5", "--curve", TEST_CURVE])
     assert rc == 0
     assert os.path.exists(prefix + "_pk.npz")
     assert os.path.exists(prefix + "_circuit.json")
 
     # witness for the dummy circuit (same seed the CLI used)
     from zkp_tpu.examples import synthetic_mult_circuit
-    r1cs, assignment = synthetic_mult_circuit(4, "bls12_381", 5)
+    r1cs, assignment = synthetic_mult_circuit(4, TEST_CURVE, 5)
     wit_path = str(tmp_path / "wit.json")
     with open(wit_path, "w") as f:
         json.dump({"values": [hex(v) for v in assignment[1:]]}, f)

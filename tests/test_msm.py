@@ -1,4 +1,11 @@
-"""Pippenger MSM vs naive double-and-add and the python-int oracle."""
+"""Pippenger MSM vs naive double-and-add and the python-int oracle.
+
+Runs on the 3-limb toy BN curve (identical code paths; BLS12-381 compile
+on XLA:CPU is unaffordable -- see tests/test_groth16.py header).  The
+full-width curves are A/B-tested on hardware by scripts/msm_tpu_test.py.
+"""
+
+import os
 
 import numpy as np
 import pytest
@@ -8,10 +15,12 @@ from zkp_tpu.curve.curves import curve_ops
 from zkp_tpu.msm.pippenger import MSM, extract_digits, default_window_bits
 from zkp_tpu.ref.pyref import CurveRef
 
+TEST_CURVE = os.environ.get("ZKP_TEST_CURVE", "toy_bn3")
+
 
 @pytest.fixture(scope="module")
 def setup():
-    ops = curve_ops("bls12_381")
+    ops = curve_ops(TEST_CURVE)
     ref = CurveRef(ops.params)
     return ops, ref
 
@@ -135,3 +144,28 @@ def test_msm_g2(setup):
         expect = ref.g2_add(expect, ref.g2_mul(k, p))
     got_x = ops.fq.decode(gx[0])
     assert int(got_x[0]) == expect[0].c0 and int(got_x[1]) == expect[0].c1
+
+
+def test_msm_bucket_pipeline_matches_naive(setup):
+    """n > NAIVE_CUTOFF: the real sort -> run-scan -> segment-fold -> bucket
+    pipeline (not the small-N double-and-add) against the naive path."""
+    ops, ref = setup
+    n = 1 << 9  # 512 > NAIVE_CUTOFF=128
+    ks = [k % ops.params.r for k in ops.fr.random_ints(21, n, nonzero=True)]
+    import jax
+    # points via the device fixed-base table would compile another module;
+    # host oracle is instant at toy width
+    pts = [ref.g1_mul(k, ref.g1) for k in ks]
+    xs = ops.fq.encode([p[0] for p in pts])
+    ys = ops.fq.encode([p[1] for p in pts])
+    inf = jnp.zeros((n,), dtype=bool)
+    scalars = ops.fr.random_ints(22, n)
+    limbs = ops.encode_scalars(scalars)
+    msm = MSM(ops.g1)
+    got = msm(xs, ys, inf, limbs, c=8, block=32)
+    gx, gy, _ = ops.g1.to_affine(tuple(v[None] for v in got))
+    expect = None
+    for k, p in zip(scalars, pts):
+        expect = ref.g1_add(expect, ref.g1_mul(k, p))
+    assert int(ops.fq.decode(gx[0])) == expect[0]
+    assert int(ops.fq.decode(gy[0])) == expect[1]

@@ -106,3 +106,75 @@ def test_key_io_roundtrip(tmp_path):
     # and the loaded key produces byte-identical proofs to the original
     proof_orig = Prover(ops).prove(crs.pk, Witness(qap, assignment), seed=3)
     assert proof.a == proof_orig.a and proof.b == proof_orig.b and proof.c == proof_orig.c
+
+
+def _find_non_subgroup_g1(params):
+    """Deterministic on-curve point OUTSIDE the order-r subgroup (only
+    exists when the G1 cofactor > 1, e.g. BLS12-381; BN curves have h=1)."""
+    q = params.q
+    for x in range(1, 2000):
+        rhs = (pow(x, 3, q) + params.b) % q
+        y = ser._sqrt_fq(rhs, q)
+        if y is None:
+            continue
+        if not ser.g1_in_subgroup((x, y), params):
+            return (x, y)
+    return None
+
+
+def _find_non_subgroup_g2(params):
+    q = params.q
+    for x0 in range(1, 500):
+        x = (x0, 1)
+        y = ser._sqrt_fq2(ser._g2_rhs(x, params), q)
+        if y is None:
+            continue
+        if not ser.g2_in_subgroup((x, y), params):
+            return (x, y)
+    return None
+
+
+def test_g1_subgroup_check_rejects_cofactor_point():
+    """arkworks validates r-torsion on deserialize (reference gets this via
+    CanonicalDeserialize on Proof, groth16-core/src/lib.rs:28-36)."""
+    params = bls12_381()
+    pt = _find_non_subgroup_g1(params)
+    assert pt is not None, "BLS12-381 G1 cofactor > 1: test point must exist"
+    data = ser.g1_compress(pt, params)
+    with pytest.raises(ser.SerializationError):
+        ser.g1_decompress(data, params)
+    # opt-out path still returns the raw point
+    assert ser.g1_decompress(data, params, check_subgroup=False) == pt
+    dz = ser.g1_compress_zcash(pt, params)
+    with pytest.raises(ser.SerializationError):
+        ser.g1_decompress_zcash(dz, params)
+
+
+def test_g2_subgroup_check_rejects_cofactor_point():
+    params = bls12_381()
+    pt = _find_non_subgroup_g2(params)
+    assert pt is not None, "BLS12-381 G2 cofactor > 1: test point must exist"
+    data = ser.g2_compress(pt, params)
+    with pytest.raises(ser.SerializationError):
+        ser.g2_decompress(data, params)
+    assert ser.g2_decompress(data, params, check_subgroup=False) == pt
+    dz = ser.g2_compress_zcash(pt, params)
+    with pytest.raises(ser.SerializationError):
+        ser.g2_decompress_zcash(dz, params)
+
+
+def test_proof_from_dict_rejects_cofactor_point():
+    """A proof whose A point is on-curve but out of subgroup must not load."""
+    from zkp_tpu.groth16.groth16 import proof_from_dict
+
+    params = bls12_381()
+    ref = CurveRef(params)
+    pt = _find_non_subgroup_g1(params)
+    good_g2 = ((ref.g2[0].c0, ref.g2[0].c1), (ref.g2[1].c0, ref.g2[1].c1))
+    d = {
+        "a": ser.g1_compress(pt, params).hex(),
+        "b": ser.g2_compress(good_g2, params).hex(),
+        "c": ser.g1_compress(ref.g1, params).hex(),
+    }
+    with pytest.raises(ser.SerializationError):
+        proof_from_dict(d, "bls12_381")

@@ -113,7 +113,7 @@ def cmd_prove(args) -> int:
     witness = Witness(qap, assignment)
     proof = Prover(ops).prove(pk, witness, args.seed)
     with open(args.output, "w") as f:
-        json.dump(proof_to_dict(proof), f)
+        json.dump(proof_to_dict(proof, ops.params.name), f)
     print(f"proof written to {args.output} in {time.time()-t0:.2f}s")
     return 0
 
@@ -133,7 +133,8 @@ def cmd_verify(args) -> int:
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="zkp-tpu",
                                  description="TPU-native Groth16 zkSNARK CLI")
-    ap.add_argument("--curve", default="bls12_381", choices=["bls12_381", "bn254"])
+    ap.add_argument("--curve", default="bls12_381",
+                    choices=["bls12_381", "bn254", "toy_bn", "toy_bn3"])
     sub = ap.add_subparsers(dest="command", required=True)
 
     g = sub.add_parser("generate-crs", help="trusted setup -> pk/vk files")

@@ -250,6 +250,15 @@ def _flat_roll_rows(rows, d, Bc: int, lane):
 
 # ------------------------------------------------------------------ kernels
 
+@functools.lru_cache(maxsize=None)
+def kgroup(q: int, L: int, which: str, st: int = 8) -> "KGroup":
+    """Shared KGroup instances.  ``jax.jit`` keys its executable cache on the
+    *identity* of static args: a fresh KGroup per MSMKernel/FixedBaseKernel
+    made every jitted MSM module recompile per instance (minutes each on a
+    weak host).  All library entry points construct KGroups through here."""
+    return KGroup(q, L, which, st=st)
+
+
 class KGroup:
     """Pallas point-op entry points for one group (G1 or G2), klayout arrays."""
 

@@ -62,6 +62,102 @@ def _sqrt_fq2(c, q: int):
     return (x0, x1)
 
 
+# --------------------------------------------------- subgroup membership
+#
+# arkworks validates r-torsion on every CanonicalDeserialize (the reference
+# gets this for free on Proof, crates/groth16-core/src/lib.rs:28-36); an
+# on-curve point in the cofactor subgroup must be REJECTED or the verifier
+# processes adversarial proof points.  Checked the direct way: [r]P == O
+# (affine double-and-add on host ints -- deserialization handles O(1)
+# points, so the ~1.5 log2(r) modinvs per point are irrelevant; the fast
+# endomorphism checks are a device-path optimization we don't need here).
+
+
+def _affine_add(a, b, q, add, sub, mul, inv, neg, is_zero):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    x1, y1 = a
+    x2, y2 = b
+    if x1 == x2:
+        if is_zero(add(y1, y2)):
+            return None
+        lam = mul(mul(mul(x1, x1), 3), inv(mul(y1, 2)))
+    else:
+        lam = mul(sub(y2, y1), inv(sub(x2, x1)))
+    x3 = sub(sub(mul(lam, lam), x1), x2)
+    y3 = sub(mul(lam, sub(x1, x3)), y1)
+    return (x3, y3)
+
+
+def _mul_raw(k: int, pt, q, ops):
+    """Double-and-add with an UNREDUCED scalar (pyref's g1_mul reduces mod r,
+    which would make [r]P trivially None)."""
+    acc, add_pt = None, pt
+    while k:
+        if k & 1:
+            acc = _affine_add(acc, add_pt, q, *ops)
+        add_pt = _affine_add(add_pt, add_pt, q, *ops)
+        k >>= 1
+    return acc
+
+
+def _fq_ops(q):
+    return (lambda a, b: (a + b) % q,
+            lambda a, b: (a - b) % q,
+            lambda a, b: (a * b) % q,
+            lambda a: pow(a, -1, q),
+            lambda a: (-a) % q,
+            lambda a: a % q == 0)
+
+
+def _fq2_ops(q):
+    def mul(a, b):
+        if isinstance(b, int):
+            return (a[0] * b % q, a[1] * b % q)
+        return ((a[0] * b[0] - a[1] * b[1]) % q,
+                (a[0] * b[1] + a[1] * b[0]) % q)
+
+    def inv(a):
+        n = pow((a[0] * a[0] + a[1] * a[1]) % q, -1, q)
+        return (a[0] * n % q, (-a[1]) * n % q)
+
+    return (lambda a, b: ((a[0] + b[0]) % q, (a[1] + b[1]) % q),
+            lambda a, b: ((a[0] - b[0]) % q, (a[1] - b[1]) % q),
+            mul,
+            inv,
+            lambda a: ((-a[0]) % q, (-a[1]) % q),
+            lambda a: a[0] % q == 0 and a[1] % q == 0)
+
+
+def g1_in_subgroup(pt, params: CurveParams | None = None) -> bool:
+    """True iff pt (affine ints or None) is in the order-r subgroup."""
+    params = params or bls12_381()
+    if pt is None:
+        return True
+    return _mul_raw(params.r, pt, params.q, _fq_ops(params.q)) is None
+
+
+def g2_in_subgroup(pt, params: CurveParams | None = None) -> bool:
+    params = params or bls12_381()
+    if pt is None:
+        return True
+    return _mul_raw(params.r, pt, params.q, _fq2_ops(params.q)) is None
+
+
+def _check_g1_subgroup(pt, params):
+    if not g1_in_subgroup(pt, params):
+        raise SerializationError("point not in the order-r subgroup")
+    return pt
+
+
+def _check_g2_subgroup(pt, params):
+    if not g2_in_subgroup(pt, params):
+        raise SerializationError("point not in the order-r subgroup")
+    return pt
+
+
 def _y_is_largest_fq(y: int, q: int) -> bool:
     return y > q - y  # equivalently y > (q-1)/2 for y != 0
 
@@ -91,7 +187,8 @@ def g1_compress(pt, params: CurveParams | None = None) -> bytes:
     return bytes(out)
 
 
-def g1_decompress(data: bytes, params: CurveParams | None = None):
+def g1_decompress(data: bytes, params: CurveParams | None = None,
+                  check_subgroup: bool = True):
     params = params or bls12_381()
     q = params.q
     nb = _nbytes(q)
@@ -111,7 +208,7 @@ def g1_decompress(data: bytes, params: CurveParams | None = None):
         raise SerializationError("x not on curve")
     if bool(flags & 0x80) != _y_is_largest_fq(y, q):
         y = (-y) % q
-    return (x, y)
+    return _check_g1_subgroup((x, y), params) if check_subgroup else (x, y)
 
 
 def g2_compress(pt, params: CurveParams | None = None) -> bytes:
@@ -143,7 +240,8 @@ def _g2_rhs(x, params):
     return ((x3[0] + b2[0]) % q, (x3[1] + b2[1]) % q)
 
 
-def g2_decompress(data: bytes, params: CurveParams | None = None):
+def g2_decompress(data: bytes, params: CurveParams | None = None,
+                  check_subgroup: bool = True):
     params = params or bls12_381()
     q = params.q
     nb = _nbytes(q)
@@ -163,7 +261,8 @@ def g2_decompress(data: bytes, params: CurveParams | None = None):
         raise SerializationError("x not on twist")
     if bool(flags & 0x80) != _y_is_largest_fq2(y, q):
         y = ((-y[0]) % q, (-y[1]) % q)
-    return ((x0, x1), y)
+    pt = ((x0, x1), y)
+    return _check_g2_subgroup(pt, params) if check_subgroup else pt
 
 
 # ------------------------------------------------------------------ zcash
@@ -185,7 +284,8 @@ def g1_compress_zcash(pt, params: CurveParams | None = None) -> bytes:
     return bytes(out)
 
 
-def g1_decompress_zcash(data: bytes, params: CurveParams | None = None):
+def g1_decompress_zcash(data: bytes, params: CurveParams | None = None,
+                        check_subgroup: bool = True):
     params = params or bls12_381()
     q = params.q
     nb = _nbytes(q)
@@ -205,7 +305,7 @@ def g1_decompress_zcash(data: bytes, params: CurveParams | None = None):
         raise SerializationError("x not on curve")
     if bool(flags & 0x20) != _y_is_largest_fq(y, q):
         y = (-y) % q
-    return (x, y)
+    return _check_g1_subgroup((x, y), params) if check_subgroup else (x, y)
 
 
 def g2_compress_zcash(pt, params: CurveParams | None = None) -> bytes:
@@ -224,7 +324,8 @@ def g2_compress_zcash(pt, params: CurveParams | None = None) -> bytes:
     return bytes(out)
 
 
-def g2_decompress_zcash(data: bytes, params: CurveParams | None = None):
+def g2_decompress_zcash(data: bytes, params: CurveParams | None = None,
+                        check_subgroup: bool = True):
     params = params or bls12_381()
     q = params.q
     nb = _nbytes(q)
@@ -242,4 +343,5 @@ def g2_decompress_zcash(data: bytes, params: CurveParams | None = None):
         raise SerializationError("x not on twist")
     if bool(flags & 0x20) != _y_is_largest_fq2(y, q):
         y = ((-y[0]) % q, (-y[1]) % q)
-    return ((x0, x1), y)
+    pt = ((x0, x1), y)
+    return _check_g2_subgroup(pt, params) if check_subgroup else pt

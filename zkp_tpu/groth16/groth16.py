@@ -350,20 +350,21 @@ class Proof:
     b: tuple          # ((x0,x1),(y0,y1)) ints or None
     c: tuple
 
-    def to_json(self) -> str:
-        return json.dumps(proof_to_dict(self))
+    def to_json(self, curve_name: str = "bls12_381") -> str:
+        return json.dumps(proof_to_dict(self, curve_name))
 
     @staticmethod
     def from_json(s: str, curve_name: str = "bls12_381") -> "Proof":
         return proof_from_dict(json.loads(s), curve_name)
 
 
-def proof_to_dict(proof: Proof) -> dict:
+def proof_to_dict(proof: Proof, curve_name: str = "bls12_381") -> dict:
     from ..curve import serialize as ser
+    cp = curve_ops(curve_name).params
     return {
-        "a": ser.g1_compress(proof.a).hex(),
-        "b": ser.g2_compress(proof.b).hex(),
-        "c": ser.g1_compress(proof.c).hex(),
+        "a": ser.g1_compress(proof.a, cp).hex(),
+        "b": ser.g2_compress(proof.b, cp).hex(),
+        "c": ser.g1_compress(proof.c, cp).hex(),
     }
 
 
@@ -393,14 +394,23 @@ class Prover:
     KERNEL_MIN_N = 129    # above the naive cutoff, always kernelize on TPU
                           # (the XLA Pippenger graph costs minutes of compile)
 
-    def __init__(self, ops: CurveOps):
+    def __init__(self, ops: CurveOps, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh -- when given, every prover
+        MSM is sharded over its first axis (points axis, the DP analog;
+        SURVEY.md 2.3) via parallel.sharded.sharded_msm_auto, which picks
+        the Pallas kernel pipeline per shard on TPU."""
         self.ops = ops
+        self.mesh = mesh
         self.msm_g1 = MSM(ops.g1)
         self.msm_g2 = MSM(ops.g2)
         self._kmsm = {}
 
     def _msm(self, which: str, xs, ys, inf, scal):
         import jax as _jax
+        if self.mesh is not None:
+            from ..parallel.sharded import sharded_msm_auto
+            return sharded_msm_auto(self.ops, self.mesh, which,
+                                    xs, ys, inf, scal)
         n = xs.shape[0]
         if _jax.default_backend() == "tpu" and n >= self.KERNEL_MIN_N:
             if which not in self._kmsm:

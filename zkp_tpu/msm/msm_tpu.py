@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..curve.pkernels import KGroup, SENTINEL
+from ..curve.pkernels import KGroup, SENTINEL, kgroup
 from .pippenger import extract_digits, signed_digits
 
 
@@ -336,7 +336,7 @@ class FixedBaseKernel:
         self.ops = curve_ops
         self.which = which
         fq = curve_ops.fq
-        self.kg = KGroup(curve_ops.params.q, fq.n, which, st=st)
+        self.kg = kgroup(curve_ops.params.q, fq.n, which, st=st)
         tab = (curve_ops.g1_fixed_base() if which == "g1"
                else curve_ops.g2_fixed_base())
         self.c = tab.c
@@ -394,7 +394,7 @@ class MSMKernel:
         self.ops = curve_ops
         self.which = which
         fq = curve_ops.fq
-        self.kg = KGroup(curve_ops.params.q, fq.n, which, st=st)
+        self.kg = kgroup(curve_ops.params.q, fq.n, which, st=st)
         self.field = curve_ops.fq if which == "g1" else curve_ops.f2
 
     def pack(self, xs, ys, inf):

@@ -323,13 +323,22 @@ def _msm_impl(curve: Weierstrass, xs, ys, inf, scalar_limbs, c: int, block: int)
     return acc
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_msm(curve: Weierstrass):
+    """One jitted MSM callable per curve object.  jax.jit keys its executable
+    cache on function identity; a fresh ``jax.jit(partial(...))`` per MSM
+    instance made every test's Prover recompile the multi-minute scan modules
+    (``curve_ops`` is lru_cached, so the curve object is shared)."""
+    return jax.jit(functools.partial(_msm_impl, curve),
+                   static_argnames=("c", "block"))
+
+
 class MSM:
     """Jitted MSM entry point bound to one group (G1 or G2)."""
 
     def __init__(self, curve: Weierstrass):
         self.curve = curve
-        self._jit = jax.jit(functools.partial(_msm_impl, curve),
-                            static_argnames=("c", "block"))
+        self._jit = _jit_msm(curve)
 
     def __call__(self, xs, ys, inf, scalar_limbs, c: int | None = None,
                  block: int | None = None):

@@ -61,13 +61,50 @@ class PairingEngine:
         self._loop_bits = jnp.asarray(bits_msb_first(abs(m))[1:])  # skip MSB
 
         self.final_exp = (p.q ** 12 - 1) // p.r
+        if self.is_bls:
+            x = p.x_param
+            assert ((x - 1) ** 2 * (x + p.q) * (x * x + p.q * p.q - 1) + 3
+                    == 3 * ((p.q ** 4 - p.q ** 2 + 1) // p.r)), \
+                "BLS12 final-exp x-chain identity"
+        # cyclotomic decomposition: full = (q^6-1)(q^2+1) * lam with
+        # lam = (q^4 - q^2 + 1)/r.  The easy part costs one Fq12 inversion +
+        # conj + frobenius + 2 muls; the hard part exponent shrinks from
+        # ~12 log q bits to ~4 log q - log r (4314 -> 1268 bits BLS12-381).
+        self._lam = (p.q ** 4 - p.q ** 2 + 1) // p.r
+        # frobenius constants gamma_k[m] = xi^{m (q^k - 1)/6}, m = 0..5
+        # (component (i, j) of the (2, 3, 2, L) layout is w^{i+2j}; w^6 = xi)
+        q = p.q
+        xi = ref.xi
+
+        def _fq2_pow(base, e: int):
+            acc, b = pyref.Fq2.one(q), base
+            while e:
+                if e & 1:
+                    acc = acc * b
+                b = b * b
+                e >>= 1
+            return acc
+
+        self._frob_g = {}
+        for k in (1, 2, 3):
+            e = (q ** k - 1) // 6
+            assert (q ** k - 1) % 6 == 0
+            gam = []
+            for m in range(6):
+                g = _fq2_pow(xi, m * e)
+                gam.append((g.c0, g.c1))
+            # reorder to the (2, 3) component grid: entry (i, j) = gamma[i+2j]
+            grid = [[gam[i + 2 * j] for j in range(3)] for i in range(2)]
+            self._frob_g[k] = self.f2.encode(grid)       # (2, 3, 2, L)
+
         if not self.is_bls:
             gx, gy = ref._gamma12()
             self._gx = self.fq.encode([gx.c0, gx.c1])
             self._gy = self.fq.encode([gy.c0, gy.c1])
 
         self._miller_jit = jax.jit(self._miller_batch)
-        self._fexp_jit = jax.jit(lambda f: self.f12.pow_static(f, self.final_exp))
+        self._fexp_jit = jax.jit(self._final_exp_value)
+        self._fexp_check_jit = jax.jit(self._final_exp_check)
 
     # ------------------------------------------------------------ primitives
 
@@ -76,6 +113,48 @@ class PairingEngine:
         h = self.f12
         return (h.mul(h.from_fq2(xq), jnp.broadcast_to(self._w2, h.from_fq2(xq).shape)),
                 h.mul(h.from_fq2(yq), jnp.broadcast_to(self._w3, h.from_fq2(yq).shape)))
+
+    def frobenius(self, f, k: int):
+        """f^(q^k) for k in {1,2,3}: componentwise Fq2 conjugation (odd k)
+        then scale component (i,j) by gamma_k[i+2j] (precomputed at init)."""
+        a = self.f2.conj(f) if k % 2 else f
+        return self.f2.mul(a, self._frob_g[k])
+
+    def _easy_part(self, f):
+        """f^((q^6-1)(q^2+1)); lands f in the cyclotomic subgroup (where
+        inversion = conjugation)."""
+        h = self.f12
+        m = h.mul(h.conj(f), h.inv(f))           # f^(q^6 - 1)
+        return h.mul(self.frobenius(m, 2), m)    # ^(q^2 + 1)
+
+    def _exp_by_x(self, g):
+        """g^x for the curve parameter x (g cyclotomic: g^-1 = conj(g))."""
+        h = self.f12
+        out = h.pow_static(g, abs(self.ops.params.x_param))
+        return h.conj(out) if self.ops.params.x_param < 0 else out
+
+    def _final_exp_value(self, f):
+        """Exact f^((q^12-1)/r): easy part + plain pow over lam
+        (~3.4x fewer bits than the naive full-exponent scan)."""
+        return self.f12.pow_static(self._easy_part(f), self._lam)
+
+    def _final_exp_check(self, f):
+        """f^(3 * (q^12-1)/r) -- a fixed 3rd power of the exact value, so
+        == 1 iff the exact pairing product == 1 (gcd(3, r) = 1).  BLS12 uses
+        the x-chain hard part (x-1)^2 (x+q) (x^2+q^2-1) + 3 = 3*lam
+        (verified == 3*lam for BLS12-381 at module init): ~4 exp-by-x of a
+        64-bit, weight-6 x vs a 1268-bit scan.  Non-BLS curves fall back to
+        the exact lam scan (cubed-free, same check semantics)."""
+        h = self.f12
+        m = self._easy_part(f)
+        if not self.is_bls:
+            return h.pow_static(m, self._lam)
+        a = h.mul(self._exp_by_x(m), h.conj(m))          # m^(x-1)
+        a = h.mul(self._exp_by_x(a), h.conj(a))          # m^((x-1)^2)
+        b = h.mul(self._exp_by_x(a), self.frobenius(a, 1))   # a^(x+q)
+        c = h.mul(h.mul(self._exp_by_x(self._exp_by_x(b)),
+                        self.frobenius(b, 2)), h.conj(b))    # b^(x^2+q^2-1)
+        return h.mul(c, h.mul(h.sqr(m), m))              # * m^3
 
     def _line_and_step(self, f, Tx, Ty, Qx, Qy, xp, yp, bit):
         """One Miller iteration: square+double-line, conditional add-line."""
@@ -161,8 +240,8 @@ class PairingEngine:
         """e(P, Q) for batched affine inputs -> Fq12 elements (M, 2,3,2,L)."""
         return self.final_exponentiation(self.miller_loop(xp, yp, xq, yq, inf_mask))
 
-    def multi_pairing(self, xp, yp, xq, yq, inf_mask=None):
-        """prod_i e(P_i, Q_i): one final exp over the product of Miller loops."""
+    def _miller_product(self, xp, yp, xq, yq, inf_mask=None):
+        """Tree-fold of the batched Miller loops (shared by value/check)."""
         f = self.miller_loop(xp, yp, xq, yq, inf_mask)
         h = self.f12
         while f.shape[0] > 1:
@@ -171,12 +250,20 @@ class PairingEngine:
                 f = jnp.concatenate([f, jnp.broadcast_to(h.ones(), (1,) + f.shape[1:])], 0)
                 n += 1
             f = h.mul(f[: n // 2], f[n // 2:])
+        return f
+
+    def multi_pairing(self, xp, yp, xq, yq, inf_mask=None):
+        """prod_i e(P_i, Q_i): one final exp over the product of Miller loops."""
+        f = self._miller_product(xp, yp, xq, yq, inf_mask)
         return self.final_exponentiation(f)[0] if f.ndim == 5 else self.final_exponentiation(f)
 
     def pairing_check(self, xp, yp, xq, yq, inf_mask=None) -> bool:
-        """prod e(P_i, Q_i) == 1 (the Groth16 verification equation shape)."""
-        out = self.multi_pairing(xp, yp, xq, yq, inf_mask)
-        return bool(jax.device_get(self.f12.is_one(out[None] if out.ndim == 4 else out)).all())
+        """prod e(P_i, Q_i) == 1 (the Groth16 verification equation shape).
+
+        Uses the fast check-only final exponentiation (a fixed 3rd power of
+        the exact value -- identical acceptance set, ~5x fewer Fq12 ops)."""
+        out = self._fexp_check_jit(self._miller_product(xp, yp, xq, yq, inf_mask))
+        return bool(jax.device_get(self.f12.is_one(out)).all())
 
 
 @functools.lru_cache(maxsize=4)

@@ -96,6 +96,96 @@ def sharded_msm(curve: Weierstrass, mesh: Mesh, xs, ys, inf, scalar_limbs,
         xs, ys, inf, scalar_limbs)
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_kmsm_fn(kg, mesh: Mesh, axis: str, c: int, B: int, nbits: int):
+    """Jitted sharded KERNEL MSM (cached per (kg, mesh, axis, c, B, nbits)).
+
+    Each device runs the full Pallas Pippenger (msm_tpu) on its point shard;
+    the per-device results (one packed Jacobian row each) are all-gathered
+    (3R u32 words/device over ICI) and tree-reduced with the Pallas add
+    kernel.  This is the fast-path analog of ``_sharded_msm_fn`` -- on real
+    hardware the multi-chip prover must scale the kernel path, not the XLA
+    limb graph (~1000x slower, PERF_NOTES.md)."""
+    from ..msm.msm_tpu import msm_tpu, _reduce_chunks
+
+    pspec = P(axis)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(pspec, pspec),
+                       out_specs=P())
+    def _local(pa, sc):
+        out = msm_tpu(kg, pa, sc, c=c, B=B, nbits=nbits)       # (1, 3R)
+        g = jax.lax.all_gather(out, axis)                      # (ndev, 1, 3R)
+        rows = g.reshape(-1, 3 * kg.R)
+        ndev = rows.shape[0]
+        inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]
+        rows = jnp.concatenate(
+            [rows, jnp.tile(inf_row, (128 - ndev, 1))], axis=0)
+        kv = _reduce_chunks(kg, kg.to_klayout(rows), 128, ndev)
+        return kg.from_klayout(kv)[:1]
+
+    return jax.jit(_local)
+
+
+def sharded_msm_kernel(curve_ops, mesh: Mesh, which: str, xs, ys, inf,
+                       scalar_limbs, c: int | None = None,
+                       B: int | None = None, axis: str | None = None):
+    """Kernelized sharded MSM: points sharded over the mesh axis, each shard
+    through the Pallas Pippenger pipeline.  Returns a Jacobian tuple in the
+    fp.py conventions (same as MSMKernel.__call__)."""
+    from ..msm.msm_tpu import MSMKernel
+
+    axis = axis or mesh.axis_names[0]
+    ndev = mesh.shape[axis]
+    mk = MSMKernel(curve_ops, which)
+    kg = mk.kg
+    n = xs.shape[0]
+    n_local = -(-n // ndev)
+    # per-device padded length: power of two, floor 2^14 (the kernel needs
+    # >= 128*B lanes; padding points are infinity so results are exact)
+    npad_local = max(1 << 14, 1 << (int(n_local - 1)).bit_length())
+    Npad = npad_local * ndev
+    if c is None:
+        c = int(min(16, max(8, n_local.bit_length() - 4)))
+    if B is None:
+        B = max(128, -(-npad_local // 2048))
+    assert npad_local % (128 * B) == 0
+    pa = mk.pack(xs, ys, inf)
+    if Npad != n:
+        pad = jnp.zeros((Npad - n, pa.shape[1]), jnp.uint16)
+        pad = pad.at[:, 2 * kg.R].set(1)      # infinity marker
+        pa = jnp.concatenate([pa, pad], axis=0)
+        scalar_limbs = jnp.concatenate(
+            [scalar_limbs,
+             jnp.zeros((Npad - n, scalar_limbs.shape[1]), scalar_limbs.dtype)])
+    nbits = curve_ops.params.r.bit_length()
+    out = _sharded_kmsm_fn(kg, mesh, axis, int(c), int(B), nbits)(
+        pa, scalar_limbs)
+    R = kg.R
+    X, Y, Z = out[0, :R], out[0, R:2 * R], out[0, 2 * R:]
+    fq_n = curve_ops.fq.n
+    sd = (2, fq_n) if which == "g2" else (fq_n,)
+    return X.reshape(sd), Y.reshape(sd), Z.reshape(sd)
+
+
+KERNEL_MIN_LOCAL_N = 129   # mirror Prover.KERNEL_MIN_N: below this the
+                           # double-and-add XLA path wins and compiles fast
+
+
+def sharded_msm_auto(curve_ops, mesh: Mesh, which: str, xs, ys, inf,
+                     scalar_limbs, axis: str | None = None):
+    """Path selection for the multi-chip prover: the Pallas kernel pipeline
+    on TPU when per-device shards are big enough to amortize it, else the
+    XLA limb path (CPU meshes, tiny fixtures, dryrun)."""
+    axis_name = axis or mesh.axis_names[0]
+    ndev = mesh.shape[axis_name]
+    n_local = -(-xs.shape[0] // ndev)
+    if jax.default_backend() == "tpu" and n_local >= KERNEL_MIN_LOCAL_N:
+        return sharded_msm_kernel(curve_ops, mesh, which, xs, ys, inf,
+                                  scalar_limbs, axis=axis_name)
+    curve = curve_ops.g1 if which == "g1" else curve_ops.g2
+    return sharded_msm(curve, mesh, xs, ys, inf, scalar_limbs, axis=axis_name)
+
+
 class DistNTT:
     """Four-step distributed NTT over a mesh axis (coefficient sharding)."""
 
