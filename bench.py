@@ -132,6 +132,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # env-var names are version-fragile; set the config explicitly (the
+    # round-4 baseline run compiled 2141s and persisted NOTHING)
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     platform = jax.devices()[0].platform
     log_n = int(os.environ.get("ZKP_BENCH_LOG_N", 20 if platform != "cpu" else 10))
     curve_name = os.environ.get("ZKP_BENCH_CURVE", "bls12_381")
@@ -151,7 +157,23 @@ def main():
     # ---- stage 1: MSM (Pallas-kernelized path on TPU, generic elsewhere)
     if platform == "tpu":
         from zkp_tpu.msm.msm_tpu import MSMKernel
-        msm = MSMKernel(ops, "g1")
+        mk = MSMKernel(ops, "g1")
+        msm = mk
+        # AOT export cache: tracing+lowering of the limb graph is ~25 min
+        # on this host class and is NOT covered by the persistent compile
+        # cache; the exported artifact skips it (keyed by source hash)
+        try:
+            import zkp_tpu.msm.msm_tpu as _msm_mod
+            import zkp_tpu.curve.pkernels as _pk_mod
+            import zkp_tpu.field.limbs as _lb_mod
+            from zkp_tpu.utils.aot import cached_export, source_hash
+            tag = f"msm_g1_{curve_name}_{source_hash(_msm_mod, _pk_mod, _lb_mod)}"
+            fn = jax.jit(lambda a, b, c_, d: mk(a, b, c_, d))
+            msm = cached_export(
+                fn, (xs, ys, inf, scalars),
+                os.path.join(_ROOT, ".bench_cache", "aot"), tag, log)
+        except Exception as e:
+            log(f"AOT export cache unavailable ({e!r}); direct path")
     else:
         msm = MSM(ops.g1)
     t0 = time.time()

@@ -7,16 +7,15 @@ can be attributed.  Run on TPU hardware.
 import time, sys, os, functools
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-
 import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np
 
 from zkp_tpu.curve.curves import curve_ops
 from zkp_tpu.curve.pkernels import KGroup, SENTINEL
-from zkp_tpu.msm.msm_tpu import _kroll, _mask_k, _weighted_chunks, _negate_y
+from zkp_tpu.msm.msm_tpu import _kroll, _mask_k, _weighted_chunks
 from zkp_tpu.msm.pippenger import signed_digits
 
 ops = curve_ops("bls12_381")
@@ -44,9 +43,12 @@ Scap = -(-(min(N, half) + G) // 1024) * 1024
 Bcap = min(-(-2 * G // 1024) * 1024, Scap)
 Bc = Bcap // 128
 rng = np.random.default_rng(0)
-PW = -(-(2 * R + 1) // 64) * 64
+PCR = kg.k.PCR
+PW16 = -(-(4 * PCR + 2) // 64) * 64
 
-pa = jnp.asarray(rng.integers(0, 1 << 16, size=(N, PW), dtype=np.uint32))
+pa16 = jnp.asarray(rng.integers(0, 1 << 16, size=(N, PW16), dtype=np.uint16))
+pa = jax.lax.bitcast_convert_type(pa16.reshape(N, PW16 // 2, 2), jnp.uint32)
+PW = pa.shape[1]
 scal = jnp.asarray(rng.integers(0, 1 << 16, size=(N, fr.n), dtype=np.uint32))
 keys_lsb, negs_lsb, nwin = jax.jit(functools.partial(signed_digits, c=c, nbits=255))(scal)
 print(f"N=2^20 c={c} B={B} G={G} nwin={nwin} Scap={Scap} Bcap={Bcap}", flush=True)
@@ -61,24 +63,18 @@ f_sort = jax.jit(lambda d: jax.lax.sort_key_val(d, jnp.arange(N, dtype=jnp.uint3
 timed("sort digits", f_sort, digits)
 keys, perm = f_sort(digits)
 
-# 2. gather + negate
-f_g = jax.jit(lambda pa, perm, negs: jnp.concatenate(
-    [jnp.take(pa, perm, axis=0)[:, :R],
-     _negate_y(kg, jnp.take(pa, perm, axis=0)[:, R:2 * R],
-               jnp.take(negs, perm, axis=0)),
-     jnp.take(pa, perm, axis=0)[:, 2 * R:]], axis=1))
+# 2. gather (packed u32 pair rows; negation happens in the scan kernel)
 f_g0 = jax.jit(lambda pa, perm: jnp.take(pa, perm, axis=0))
-timed("gather rows only", f_g0, pa, perm)
-timed("gather rows + negate_y", f_g, pa, perm, negs)
-rows = f_g(pa, perm, negs)
+timed("gather packed rows", f_g0, pa, perm)
+rows = f_g0(pa, perm)
 
 # 3. relayout (+ key and neg-mask rows; negation happens in the scan kernel)
 def f_rel(rows, keys, negs):
-    rows_t = rows.reshape(G, B, PW).transpose(1, 2, 0)[:, :2 * R + 1]
+    rows_t = rows.reshape(G, B, PW).transpose(1, 2, 0)[:, :2 * PCR + 1]
     keys_t = keys.reshape(G, B).T[:, None, :]
     negs_t = negs.reshape(G, B).T[:, None, :].astype(jnp.uint32)
     A_key = jnp.concatenate([rows_t, keys_t, negs_t], axis=1)
-    return A_key.reshape(B, 2 * R + 3, S, 128)
+    return A_key.reshape(B, 2 * PCR + 3, S, 128)
 f_rel = jax.jit(f_rel)
 timed("relayout to time-major klayout", f_rel, rows, keys, negs)
 A_key = f_rel(rows, keys, negs)

@@ -90,9 +90,11 @@ def run_prove_bench(curve_name: str, log_n: int, log=print, fence=None,
 
 
 if __name__ == "__main__":
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(_ROOT, ".jax_cache"))
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    import jax
+    # jax.config, NOT env vars (env route silently no-ops -- round-4 finding)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     log_n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     run_prove_bench(os.environ.get("ZKP_BENCH_CURVE", "bls12_381"), log_n)

@@ -4,10 +4,13 @@ Groth16 prove+verify round-trip on a synthetic circuit.
 import time, sys, os
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import jax, jax.numpy as jnp
+# set via jax.config, NOT env vars: the env-var route silently leaves the
+# persistent cache disabled in this jax build (round-4 finding)
+jax.config.update("jax_compilation_cache_dir", os.path.join(_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np
 
 from zkp_tpu.field import bls12_381

@@ -36,8 +36,8 @@ def test_circuit_json_roundtrip():
 
 def test_cli_full_roundtrip(tmp_path, capsys):
     prefix = str(tmp_path / "crs")
-    rc = cli.main(["generate-crs", "--num-constraints", "4",
-                   "--output", prefix, "--seed", "5", "--curve", TEST_CURVE])
+    rc = cli.main(["--curve", TEST_CURVE, "generate-crs", "--num-constraints",
+                   "4", "--output", prefix, "--seed", "5"])
     assert rc == 0
     assert os.path.exists(prefix + "_pk.npz")
     assert os.path.exists(prefix + "_circuit.json")

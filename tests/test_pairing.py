@@ -120,3 +120,28 @@ def test_pairing_infinity_mask(setup):
     got = eng.pairing(xp, yp, xq, yq, inf_mask=mask)[0]
     one = np.asarray(jnp.broadcast_to(eng.f12.ones(), got.shape))
     assert (np.asarray(got) == one).all()
+
+
+def test_frobenius_and_final_exp_decomposition_toy():
+    """frobenius(f, k) == f^(q^k) and the easy+hard final-exp decomposition
+    == the full (q^12-1)/r scan, on the 3-limb toy BN curve (compiles in
+    seconds; the BLS x-chain check path is covered on TPU by
+    test_pairing_check_accepts_and_rejects)."""
+    import jax.numpy as jnp
+    from zkp_tpu.pairing.pairing import PairingEngine
+
+    ops = curve_ops("toy_bn3")
+    eng = pairing_engine("toy_bn3")
+    h = ops.f12
+    p = ops.params
+    rng = np.random.default_rng(0)
+    vals = [[[int(rng.integers(0, p.q)) for _ in range(2)] for _ in range(3)]
+            for _ in range(2)]
+    f = ops.fq.encode(np.asarray(vals, dtype=object))[None]
+    for k in (1, 2, 3):
+        assert bool(jnp.all(eng.frobenius(f, k) == h.pow_static(f, p.q ** k)))
+    v_fast = eng._final_exp_value(f)
+    v_full = h.pow_static(f, (p.q ** 12 - 1) // p.r)
+    assert bool(jnp.all(v_fast == v_full))
+    # BN check path: exact lam scan on the easy part == the exact value
+    assert bool(jnp.all(eng._final_exp_check(f) == v_fast))

@@ -100,3 +100,16 @@ def test_batched_intt_sharded():
     got = batched_intt_sharded(curve, log_n, mesh, X)
     single = dom.intt(X)
     assert (np.asarray(got) == np.asarray(single)).all()
+
+
+def test_multihost_single_process_noop_and_pod_mesh():
+    """init_multihost is a no-op without a coordinator; pod_mesh spans the
+    (virtual) device set; process_info reports a sane single-process view."""
+    from zkp_tpu.parallel.multihost import init_multihost, pod_mesh, process_info
+
+    assert init_multihost() is False        # nothing to join on one host
+    mesh = pod_mesh("points")
+    assert mesh.shape["points"] == len(jax.devices()) == 8
+    info = process_info()
+    assert info["process_count"] == 1
+    assert info["global_device_count"] == 8

@@ -64,3 +64,26 @@ def test_msm_kernel_matches_oracle(ops):
     got = (int(fq.decode(X)) * zi * zi % q,
            int(fq.decode(Y)) * zi * zi % q * zi % q)
     assert got == want
+
+
+def test_sharded_kernel_msm_single_chip_mesh(ops):
+    """sharded_msm_kernel on a 1-device TPU mesh == single-chip MSMKernel
+    (the collective plumbing is exercised on the CPU mesh by
+    tests/test_sharded.py; here the Pallas path runs under shard_map on
+    real hardware)."""
+    from zkp_tpu.parallel.sharded import make_mesh, sharded_msm_auto
+
+    fq, fr = ops.fq, ops.fr
+    N = 1 << 13
+    rng = np.random.default_rng(7)
+    m_ints = [int(v) for v in rng.integers(1, 1 << 16, size=N)]
+    s_ints = [int.from_bytes(rng.bytes(32), "little") % fr.p for _ in range(N)]
+    tab = ops.g1_fixed_base()
+    P = tab.scalar_mul(fr.encode(m_ints, mont=False))
+    xs, ys, inf = ops.g1.to_affine(P)
+    scal = fr.encode(s_ints, mont=False)
+
+    mesh = make_mesh(1)
+    got = sharded_msm_auto(ops, mesh, "g1", xs, ys, inf, scal)
+    want = MSMKernel(ops, "g1")(xs, ys, inf, scal)
+    assert bool(ops.g1.eq_points(got, want))

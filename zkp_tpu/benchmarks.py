@@ -23,15 +23,31 @@ from .qap.qap import QAP
 from .utils.profiling import Metrics, StageTimer
 
 
-def _time(fn, iters=3, warm=1):
+def _time(fn, iters=3, warm=1, stats=None):
+    """Mean seconds per call; criterion-style per-sample statistics
+    (mean/std/min/max over ``iters`` samples) land in ``stats`` if given."""
+    import statistics
+
+    def run_once():
+        out = fn()
+        jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
+
     for _ in range(warm):
-        out = fn()
-        jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
-    t0 = time.time()
+        run_once()
+    samples = []
     for _ in range(iters):
-        out = fn()
-        jax.block_until_ready(out) if hasattr(out, "block_until_ready") else None
-    return (time.time() - t0) / iters
+        t0 = time.time()
+        run_once()
+        samples.append(time.time() - t0)
+    if stats is not None:
+        stats.update({
+            "iters": iters,
+            "mean_s": statistics.fmean(samples),
+            "std_s": statistics.pstdev(samples) if len(samples) > 1 else 0.0,
+            "min_s": min(samples),
+            "max_s": max(samples),
+        })
+    return sum(samples) / iters
 
 
 def bench_field_operations(metrics: Metrics, curve_name="bls12_381", n=1 << 14):
@@ -42,23 +58,27 @@ def bench_field_operations(metrics: Metrics, curve_name="bls12_381", n=1 << 14):
     for name, fn in [("field_add", lambda: fr.add(a, b)),
                      ("field_mul", lambda: fr.mul(a, b)),
                      ("field_inverse_batch", lambda: fr.batch_inv(a))]:
-        t = _time(fn)
-        metrics.record(name, n / t, "ops/s", batch=n)
+        st = {}
+        t = _time(fn, iters=5, stats=st)
+        metrics.record(name, n / t, "ops/s", batch=n, **st)
 
 
 def bench_r1cs(metrics: Metrics, curve_name="bls12_381", sizes=(10, 100, 1000)):
     for n in sizes:
         r1cs, assignment = synthetic_mult_circuit(n, curve_name, seed=n)
-        t = _time(lambda: r1cs.is_satisfied(assignment), iters=3)
-        metrics.record("r1cs_satisfaction", n / t, "constraints/s", constraints=n)
+        st = {}
+        t = _time(lambda: r1cs.is_satisfied(assignment), iters=3, stats=st)
+        metrics.record("r1cs_satisfaction", n / t, "constraints/s",
+                       constraints=n, **st)
 
 
 def bench_qap_conversion(metrics: Metrics, curve_name="bls12_381", sizes=(10, 100)):
     ops = curve_ops(curve_name)
     for n in sizes:
         r1cs, assignment = synthetic_mult_circuit(n, curve_name, seed=n)
-        t = _time(lambda: QAP.from_r1cs(ops.params, r1cs), iters=2)
-        metrics.record("r1cs_to_qap", n / t, "constraints/s", constraints=n)
+        st = {}
+        t = _time(lambda: QAP.from_r1cs(ops.params, r1cs), iters=2, stats=st)
+        metrics.record("r1cs_to_qap", n / t, "constraints/s", constraints=n, **st)
 
 
 def bench_trusted_setup(metrics: Metrics, curve_name="bls12_381", sizes=(10, 50)):

@@ -49,9 +49,23 @@ class _F1:
     def __init__(self, fl: FpLimbs):
         self.fl = fl
         self.R = fl.L
+        # packed-coordinate geometry: TWO 16-bit limbs ride in one u32 row
+        # (limb 2i in the low half, 2i+1 in the high half) -- halves the
+        # gather/relayout/scan-input bytes of the MSM hot path
+        self.PL = (fl.L + 1) // 2     # u32 rows per packed Fq component
+        self.PCR = self.PL            # u32 rows per packed coordinate
 
     def load(self, ref_or_arr, base: int):
         return [ref_or_arr[base + i] for i in range(self.R)]
+
+    def load_packed(self, ref_or_arr, base: int):
+        """Unpack a packed coordinate starting at u32 row ``base``."""
+        MASK = jnp.uint32(0xFFFF)
+        out = []
+        for i in range(self.fl.L):
+            w = ref_or_arr[base + i // 2]
+            out.append((w >> 16) if (i % 2) else (w & MASK))
+        return out
 
     def flatten(self, e):
         return list(e)
@@ -76,11 +90,27 @@ class _F2:
         self.fl = fl
         self.f2 = Fp2Limbs(fl)
         self.R = 2 * fl.L
+        self.PL = (fl.L + 1) // 2     # u32 rows per packed Fq component
+        self.PCR = 2 * self.PL        # u32 rows per packed Fq2 coordinate
 
     def load(self, ref_or_arr, base: int):
         L = self.fl.L
         return ([ref_or_arr[base + i] for i in range(L)],
                 [ref_or_arr[base + L + i] for i in range(L)])
+
+    def load_packed(self, ref_or_arr, base: int):
+        """Each Fq component is packed independently (PL u32 rows), so odd
+        L never straddles a component boundary."""
+        MASK = jnp.uint32(0xFFFF)
+
+        def comp(b):
+            out = []
+            for i in range(self.fl.L):
+                w = ref_or_arr[b + i // 2]
+                out.append((w >> 16) if (i % 2) else (w & MASK))
+            return out
+
+        return (comp(base), comp(base + self.PL))
 
     def flatten(self, e):
         return list(e[0]) + list(e[1])
@@ -523,17 +553,25 @@ class KGroup:
     def run_scan(self, A_key):
         """The FULL MSM blocked run scan as ONE Pallas call.
 
-        A_key: (B, 2R+3, S, 128) time-major sorted affine blocks with a key
-        row and a negation-mask row appended (y is negated IN-KERNEL where
-        the mask is set -- doing it at the XLA level costs ~10 ms/window of
-        limb arithmetic on HBM-resident (N, R) arrays).  The sequential TPU
-        grid iterates t = 0..B-1, carrying (acc, current key) in VMEM
-        scratch; per step it emits the previous run's partial sum.  Returns
-        (emits (B,3R,S,128), ekeys (B,1,S,128), evalid (B,1,S,128),
-        facc (3R,S,128), fkey (1,S,128)).
+        A_key: (B, 2*PCR+3, S, 128) time-major sorted PACKED affine blocks:
+        [x packed | y packed | inf | key | negmask], where each coordinate
+        rides as PCR u32 rows holding two 16-bit limbs each (low = even
+        limb) -- the u16 pair packing halves the gather/relayout/scan-input
+        bytes of the hot path; the unpack is free VPU shifts in-kernel.
+        The y coordinate is negated IN-KERNEL where the mask is set.  The
+        sequential TPU grid iterates t = 0..B-1, carrying (acc, current
+        key) in VMEM scratch; per step it emits the previous run's partial
+        sum, PACKED as u16 pairs (limb 2r | 2r+1 << 16 -- limbs are
+        canonical 16-bit, so this is lossless and halves the emit HBM
+        write).  Returns (emits (B,PJ,S,128), ekeys (B,1,S,128),
+        evalid (B,1,S,128), facc (PJ,S,128), fkey (1,S,128)) with
+        PJ = ceil(3R/2).
         """
         R, k = self.R, self.k
+        PCR = k.PCR
+        PJ = (3 * R + 1) // 2       # packed jacobian rows (u16 pairs)
         B, _, S, _ = A_key.shape
+        assert A_key.shape[1] == 2 * PCR + 3
 
         def kern(a_ref, emit_ref, ek_ref, ev_ref, facc_ref, fkey_ref,
                  acc_s, key_s):
@@ -552,11 +590,11 @@ class KGroup:
 
             acc = (k.load(acc_s, 0), k.load(acc_s, R), k.load(acc_s, 2 * R))
             ckey = key_s[0]
-            xq = k.load(a_ref[0], 0)
-            yq = k.load(a_ref[0], R)
-            inf2 = a_ref[0][2 * R] != 0
-            key = a_ref[0][2 * R + 1]
-            negm = a_ref[0][2 * R + 2] != 0
+            xq = k.load_packed(a_ref[0], 0)
+            yq = k.load_packed(a_ref[0], PCR)
+            inf2 = a_ref[0][2 * PCR] != 0
+            key = a_ref[0][2 * PCR + 1]
+            negm = a_ref[0][2 * PCR + 2] != 0
             yq = k.select(negm, k.neg(yq), yq)
             same = key == ckey
             eX, eY, eZ, is_dbl = _pmadd_fast(k, acc, xq, yq, inf2)
@@ -568,9 +606,13 @@ class KGroup:
             nX = k.select(same, eX, fX)
             nY = k.select(same, eY, fY)
             nZ = k.select(same, eZ, fZ)
-            # emit previous run (the pre-update accumulator)
-            for r_ in range(3 * R):
-                emit_ref[0, r_] = acc_s[r_]
+            # emit previous run (the pre-update accumulator) as u16 PAIRS:
+            # limbs are canonical (< 2^16), so row r = limb 2r | 2r+1 << 16
+            # -- halves the emit HBM write and every downstream byte until
+            # the post-compaction unpack (msm_tpu.unpack_jac_rows)
+            for r_ in range(PJ):
+                hi = acc_s[2 * r_ + 1] if 2 * r_ + 1 < 3 * R else 0
+                emit_ref[0, r_] = acc_s[2 * r_] | (hi << 16)
             ek_ref[0, 0] = ckey
             ev_ref[0, 0] = ((~same) & (ckey != SENTINEL)).astype(jnp.uint32)
             for idx, row in enumerate(k.flatten(nX) + k.flatten(nY) + k.flatten(nZ)):
@@ -587,33 +629,34 @@ class KGroup:
 
             @pl.when(i == B - 1)
             def _():
-                for r_ in range(3 * R):
-                    facc_ref[r_] = acc_s[r_]
+                for r_ in range(PJ):          # same u16-pair packing as emits
+                    hi = acc_s[2 * r_ + 1] if 2 * r_ + 1 < 3 * R else 0
+                    facc_ref[r_] = acc_s[2 * r_] | (hi << 16)
                 fkey_ref[0] = key_s[0]
 
         out = pl.pallas_call(
             kern,
             grid=(B,),
-            in_specs=[pl.BlockSpec((1, 2 * R + 3, S, 128),
+            in_specs=[pl.BlockSpec((1, 2 * PCR + 3, S, 128),
                                    lambda i: (i, 0, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=(
-                pl.BlockSpec((1, 3 * R, S, 128), lambda i: (i, 0, 0, 0),
+                pl.BlockSpec((1, PJ, S, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, S, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, S, 128), lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3 * R, S, 128), lambda i: (0, 0, 0),
+                pl.BlockSpec((PJ, S, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, S, 128), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((B, 3 * R, S, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((B, PJ, S, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((B, 1, S, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((B, 1, S, 128), jnp.uint32),
-                jax.ShapeDtypeStruct((3 * R, S, 128), jnp.uint32),
+                jax.ShapeDtypeStruct((PJ, S, 128), jnp.uint32),
                 jax.ShapeDtypeStruct((1, S, 128), jnp.uint32),
             ),
             scratch_shapes=[

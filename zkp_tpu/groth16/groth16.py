@@ -572,15 +572,18 @@ class Verifier:
             return False
         IC = self._ic(vk, public_inputs)
         icx, icy, icinf = ops.g1.to_affine(tuple(t[None] for t in IC))
-        if bool(icinf[0]):
-            return False
+        # IC may legitimately be the point at infinity (e.g. no public
+        # inputs and variable 0 unused by any constraint -> IC_0 = [0]G1);
+        # e(-O, gamma) = 1, so the pairing just drops out of the product
+        ic_inf = bool(icinf[0])
 
         import jax as _jax
         if _jax.default_backend() != "tpu":
             # O(1) work: the host-oracle pairing avoids the multi-minute
             # XLA:CPU compile of the Miller-loop graph (the device engine is
             # exercised on TPU and by tests/test_pairing tower/TPU suites)
-            return self._verify_host(vk, proof, (icx, icy))
+            return self._verify_host(vk, proof,
+                                     None if ic_inf else (icx, icy))
 
         ax, ay = proof.a
         cx, cy = proof.c
@@ -594,7 +597,8 @@ class Verifier:
         by = fq.encode([[by0, by1]])[0]
         xq = jnp.stack([bx, vk.beta_g2[0], vk.gamma_g2[0], vk.delta_g2[0]])
         yq = jnp.stack([by, vk.beta_g2[1], vk.gamma_g2[1], vk.delta_g2[1]])
-        return self.engine.pairing_check(xp, yp, xq, yq)
+        inf_mask = jnp.array([False, False, ic_inf, False])
+        return self.engine.pairing_check(xp, yp, xq, yq, inf_mask)
 
     def _verify_host(self, vk: VerificationKey, proof: Proof, ic_aff) -> bool:
         from ..ref.pyref import CurveRef, Fq2
@@ -602,8 +606,11 @@ class Verifier:
         fq = ops.fq
         q = ops.params.q
         oracle = CurveRef(ops.params)
-        icx, icy = ic_aff
-        ic = (int(fq.decode(icx[0])), int(fq.decode(icy[0])))
+        if ic_aff is None:
+            ic = None      # IC = O: oracle.multi_pairing skips None points
+        else:
+            icx, icy = ic_aff
+            ic = (int(fq.decode(icx[0])), int(fq.decode(icy[0])))
 
         def g2pt(t):
             cx, cy = fq.decode(t[0]), fq.decode(t[1])

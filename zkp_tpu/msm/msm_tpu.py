@@ -5,8 +5,10 @@ compaction -> segment fold -> bucket scatter -> weighted sum), but every
 point operation is a Pallas kernel on klayout arrays (curve/pkernels.py)
 and point data moves as single packed rows:
 
-  packed affine row  = [x limbs | y limbs | inf] : (N, 2R+1) u32
-  packed jac row     = [X | Y | Z]               : (N, 3R) u32
+  packed affine row  = [x | y | inf | pad] u16, two limbs per u32 pair
+                       (see MSMKernel.pack) -- gathered at 128 B/row and
+                       bitcast to (N, 2*PCR+1) u32 for the scan kernel,
+  packed jac row     = [X | Y | Z] : (N, 3R) u32
 
 so each window pays exactly ONE big gather.  Replaces ark-ec
 VariableBaseMSM (crates/groth16-core/src/lib.rs:275-300) as the prover's
@@ -145,7 +147,8 @@ def _weighted_chunks(kg: KGroup, kB, n: int):
 @functools.partial(jax.jit, static_argnames=("kg", "c", "B", "nbits"))
 def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
             nbits: int | None = None):
-    """packed_affine: (N, 2R+1) u32 [x|y|inf]; scalars (N, nl) 16-bit limbs.
+    """packed_affine: (N, pw16) u16 rows from MSMKernel.pack; scalars
+    (N, nl) 16-bit limbs.
 
     Signed-window Pippenger: digits recoded into [-(2^(c-1)-1), 2^(c-1)]
     so the bucket table is 2^(c-1) entries (digit k -> slot k-1, weight
@@ -157,6 +160,7 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
     """
     N = packed_affine.shape[0]
     R = kg.R
+    PCR = kg.k.PCR                   # u32 rows per packed coordinate
     G = N // B
     S = G // 128
     half = 1 << (c - 1)
@@ -164,7 +168,13 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
     Scap = min(N, half) + G          # compaction bound
     Scap = -(-Scap // 1024) * 1024   # klayout-friendly (128 lanes x st=8)
 
-    inf_col = packed_affine[:, 2 * R] != 0
+    inf_col = packed_affine[:, 4 * PCR] != 0     # inf u16 column
+    # ONE u16->u32 pair bitcast up front: every window then gathers and
+    # relayouts HALF the u32 rows (limbs 2i | 2i+1<<16; kernel unpack is
+    # free VPU shifts)
+    PW16 = packed_affine.shape[1]
+    pa32 = jax.lax.bitcast_convert_type(
+        packed_affine.reshape(N, PW16 // 2, 2), jnp.uint32)   # (N, PW16/2)
     keys_lsb, negs_lsb, nwin = signed_digits(scalar_limbs, c, nbits=nbits)
     digits_all = jnp.where(inf_col[None, :], jnp.uint32(0), keys_lsb[::-1])
     negs_all = negs_lsb[::-1]
@@ -181,21 +191,21 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
     def window_body(_, xs):
         digits, negs = xs
         keys, perm = jax.lax.sort_key_val(digits, jnp.arange(N, dtype=jnp.uint32))
-        rows = jnp.take(packed_affine, perm, axis=0)          # THE gather
+        rows = jnp.take(pa32, perm, axis=0)                   # THE gather
         sneg = jnp.take(negs, perm, axis=0)
         # time-major klayout: element n -> (g = n // B, t = n % B); y is
-        # negated IN the scan kernel (neg-mask row) -- XLA-level limb
-        # negation on the (N, R) gather output costs ~10 ms/window
-        PW = packed_affine.shape[1]
-        rows_t = rows.reshape(G, B, PW).transpose(1, 2, 0)[:, :2 * R + 1]  # (B, 2R+1, G)
+        # negated IN the scan kernel (neg-mask row)
+        PW32 = pa32.shape[1]
+        rows_t = rows.reshape(G, B, PW32).transpose(1, 2, 0)[:, :2 * PCR + 1]
         keys_t = keys.reshape(G, B).T[:, None, :]                   # (B, 1, G)
         negs_t = sneg.reshape(G, B).T[:, None, :].astype(jnp.uint32)
-        A_key = jnp.concatenate([rows_t, keys_t, negs_t], axis=1)   # (B, 2R+3, G)
-        A_key = A_key.reshape(B, 2 * R + 3, S, 128)
+        A_key = jnp.concatenate([rows_t, keys_t, negs_t], axis=1)   # (B, 2PCR+3, G)
+        A_key = A_key.reshape(B, 2 * PCR + 3, S, 128)
 
         emits, ekeys, evalid, facc, fkey = kg.run_scan(A_key)
+        PJ = emits.shape[1]          # packed jacobian rows (u16 pairs)
         # append trailing run
-        emits = jnp.concatenate([emits, facc[None]], axis=0)        # (B+1, 3R, S, 128)
+        emits = jnp.concatenate([emits, facc[None]], axis=0)        # (B+1, PJ, S, 128)
         ekeys = jnp.concatenate([ekeys, fkey[None]], axis=0)        # (B+1, 1, S, 128)
         evalid = jnp.concatenate(
             [evalid, jnp.ones_like(evalid[:1])], axis=0)
@@ -209,11 +219,13 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
         tpos = jnp.arange(Bp, dtype=jnp.uint32)[:, None]
         boundary = first_valid | (tpos == jnp.uint32(B))
         # flatten TIME-major (emit of column g at time t -> flat t*G + g):
-        # the g-major "run order" flatten needs a (Bp,3R,G)->(G,Bp,3R)
+        # the g-major "run order" flatten needs a (Bp,PJ,G)->(G,Bp,PJ)
         # transpose measured ~13 ms/window slower than this one; downstream
         # only needs the four arrays in a CONSISTENT order (the compaction
-        # sort groups equal keys regardless of input order)
-        e_rows = emits.reshape(Bp, 3 * R, G).transpose(0, 2, 1).reshape(Bp * G, 3 * R)
+        # sort groups equal keys regardless of input order).  Rows stay
+        # PACKED through the flatten/sort/gather (half the bytes) and are
+        # unpacked once after the compaction take.
+        e_rows = emits.reshape(Bp, PJ, G).transpose(0, 2, 1).reshape(Bp * G, PJ)
         e_keys = ekeys.reshape(Bp, G).reshape(Bp * G)
         e_val = ev.reshape(Bp * G)
         e_bnd = boundary.reshape(Bp * G)
@@ -224,8 +236,11 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
             ckeys, jnp.arange(Bp * G, dtype=jnp.uint32))
         take_n = min(Scap, Bp * G)
         ckeys = ckeys[:take_n]
-        part = jnp.take(e_rows, cperm[:take_n], axis=0)             # (take_n, 3R)
+        packed = jnp.take(e_rows, cperm[:take_n], axis=0)           # (take_n, PJ)
         bnd = jnp.take(e_bnd, cperm[:take_n], axis=0)
+        # unpack u16 pairs -> (take_n, 3R) limb rows
+        part = jnp.stack([packed & jnp.uint32(0xFFFF), packed >> 16],
+                         axis=-1).reshape(take_n, 2 * PJ)[:, :3 * R]
         inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]           # (1, 3R)
         if take_n < Scap:
             ckeys = jnp.concatenate(
@@ -398,21 +413,32 @@ class MSMKernel:
         self.field = curve_ops.fq if which == "g1" else curve_ops.f2
 
     def pack(self, xs, ys, inf):
-        """[x | y | inf | zero-pad] rows as uint16 (limb values are 16-bit),
-        padded to a 64-u16 multiple.  Row-gather throughput is dtype- and
-        size-sensitive: at 2^20 rows, (N,64)-u16 (128 B) gathers ~15% faster
-        than (N,64)-u32 (256 B) while halving relayout/scan-input bytes;
-        u32 rows below 256 B cliff 2-3x slower (scripts/
-        gather_transpose_bench.py)."""
+        """Packed u16 affine rows, PAIR-ALIGNED for the in-kernel u32
+        unpack: each Fq component gets its L limbs + pad to an even count,
+        then [x comps | y comps | inf | pad] to a 64-u16 multiple.  At
+        2^20 rows the 128-B u16 gather is ~15% faster than 256-B u32
+        (scripts/gather_transpose_bench.py), and the pair packing halves
+        the relayout + scan-input bytes (limbs 2i | 2i+1<<16, unpacked by
+        free VPU shifts in run_scan)."""
+        kg = self.kg
         N = xs.shape[0]
-        R = self.kg.R
-        w = 2 * R + 1
+        L = kg.fl.L
+        ncomp = kg.R // L
+        PL = kg.k.PL
+        w = 4 * kg.k.PCR + 2          # x + y packed pairs + (inf, 0)
         pw = -(-w // 64) * 64
+
+        def comp_pad(arr):            # (N, ncomp, L) -> (N, ncomp*2*PL) u16
+            a = arr.reshape(N, ncomp, L).astype(jnp.uint16)
+            if 2 * PL != L:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((N, ncomp, 2 * PL - L), jnp.uint16)], axis=2)
+            return a.reshape(N, ncomp * 2 * PL)
+
         return jnp.concatenate(
-            [xs.reshape(N, R).astype(jnp.uint16),
-             ys.reshape(N, R).astype(jnp.uint16),
+            [comp_pad(xs), comp_pad(ys),
              inf.astype(jnp.uint16)[:, None],
-             jnp.zeros((N, pw - w), jnp.uint16)], axis=1)
+             jnp.zeros((N, pw - w + 1), jnp.uint16)], axis=1)
 
     def __call__(self, xs, ys, inf, scalar_limbs, c: int | None = None,
                  B: int | None = None):
@@ -433,7 +459,7 @@ class MSMKernel:
         pa = self.pack(xs, ys, inf)
         if Npad != N:
             pad = jnp.zeros((Npad - N, pa.shape[1]), jnp.uint16)
-            pad = pad.at[:, 2 * self.kg.R].set(1)   # padded points = infinity
+            pad = pad.at[:, 4 * self.kg.k.PCR].set(1)  # padded points = infinity
             pa = jnp.concatenate([pa, pad], axis=0)
             scalar_limbs = jnp.concatenate(
                 [scalar_limbs,

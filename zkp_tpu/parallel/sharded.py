@@ -152,7 +152,7 @@ def sharded_msm_kernel(curve_ops, mesh: Mesh, which: str, xs, ys, inf,
     pa = mk.pack(xs, ys, inf)
     if Npad != n:
         pad = jnp.zeros((Npad - n, pa.shape[1]), jnp.uint16)
-        pad = pad.at[:, 2 * kg.R].set(1)      # infinity marker
+        pad = pad.at[:, 4 * kg.k.PCR].set(1)  # infinity marker
         pa = jnp.concatenate([pa, pad], axis=0)
         scalar_limbs = jnp.concatenate(
             [scalar_limbs,
@@ -172,10 +172,13 @@ KERNEL_MIN_LOCAL_N = 129   # mirror Prover.KERNEL_MIN_N: below this the
 
 
 def sharded_msm_auto(curve_ops, mesh: Mesh, which: str, xs, ys, inf,
-                     scalar_limbs, axis: str | None = None):
+                     scalar_limbs, axis: str | None = None,
+                     c: int | None = None, block: int | None = None):
     """Path selection for the multi-chip prover: the Pallas kernel pipeline
     on TPU when per-device shards are big enough to amortize it, else the
-    XLA limb path (CPU meshes, tiny fixtures, dryrun)."""
+    XLA limb path (CPU meshes, tiny fixtures, dryrun).  ``c``/``block``
+    tune the XLA path only; the kernel path picks its own window/block
+    geometry from the shard size."""
     axis_name = axis or mesh.axis_names[0]
     ndev = mesh.shape[axis_name]
     n_local = -(-xs.shape[0] // ndev)
@@ -183,7 +186,8 @@ def sharded_msm_auto(curve_ops, mesh: Mesh, which: str, xs, ys, inf,
         return sharded_msm_kernel(curve_ops, mesh, which, xs, ys, inf,
                                   scalar_limbs, axis=axis_name)
     curve = curve_ops.g1 if which == "g1" else curve_ops.g2
-    return sharded_msm(curve, mesh, xs, ys, inf, scalar_limbs, axis=axis_name)
+    return sharded_msm(curve, mesh, xs, ys, inf, scalar_limbs,
+                       c=c, block=block, axis=axis_name)
 
 
 class DistNTT:
