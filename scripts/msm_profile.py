@@ -47,10 +47,10 @@ PCR = kg.k.PCR
 PW16 = -(-(4 * PCR + 2) // 64) * 64
 
 pa16 = jnp.asarray(rng.integers(0, 1 << 16, size=(N, PW16), dtype=np.uint16))
-pa = jax.lax.bitcast_convert_type(pa16.reshape(N, PW16 // 2, 2), jnp.uint32)
-PW = pa.shape[1]
+PW = PW16 // 2
 scal = jnp.asarray(rng.integers(0, 1 << 16, size=(N, fr.n), dtype=np.uint32))
 keys_lsb, negs_lsb, nwin = jax.jit(functools.partial(signed_digits, c=c, nbits=255))(scal)
+nwin = int(nwin)   # concrete python int (f_w reshapes need a static value)
 print(f"N=2^20 c={c} B={B} G={G} nwin={nwin} Scap={Scap} Bcap={Bcap}", flush=True)
 digits = keys_lsb[0]
 negs = negs_lsb[0]
@@ -63,10 +63,14 @@ f_sort = jax.jit(lambda d: jax.lax.sort_key_val(d, jnp.arange(N, dtype=jnp.uint3
 timed("sort digits", f_sort, digits)
 keys, perm = f_sort(digits)
 
-# 2. gather (packed u32 pair rows; negation happens in the scan kernel)
-f_g0 = jax.jit(lambda pa, perm: jnp.take(pa, perm, axis=0))
-timed("gather packed rows", f_g0, pa, perm)
-rows = f_g0(pa, perm)
+# 2. gather u16 rows (128 B; u32 rows below 256 B hit a 2-3x cliff), then
+# ONE bitcast to u32 pairs (matches msm_tpu.window_body)
+f_g0 = jax.jit(lambda pa, perm: jax.lax.bitcast_convert_type(
+    jnp.take(pa, perm, axis=0).reshape(N, PW16 // 2, 2), jnp.uint32))
+f_g16 = jax.jit(lambda pa, perm: jnp.take(pa, perm, axis=0))
+timed("gather u16 rows only", f_g16, pa16, perm)
+timed("gather u16 + bitcast u32 pairs", f_g0, pa16, perm)
+rows = f_g0(pa16, perm)
 
 # 3. relayout (+ key and neg-mask rows; negation happens in the scan kernel)
 def f_rel(rows, keys, negs):
@@ -79,11 +83,19 @@ f_rel = jax.jit(f_rel)
 timed("relayout to time-major klayout", f_rel, rows, keys, negs)
 A_key = f_rel(rows, keys, negs)
 
-# 4. run scan
+# 4. run scan (+ a B=256 variant: steps halve, lanes double -> latency test)
 timed("run_scan kernel (N adds)", kg.run_scan, A_key)
 emits, ekeys, evalid, facc, fkey = kg.run_scan(A_key)
+try:
+    B2 = B // 2
+    A2 = A_key.reshape(B2, 2, 2 * kg.k.PCR + 3, S, 128)
+    A2 = jnp.concatenate([A2[:, 0], A2[:, 1]], axis=2)   # (B/2, rows, 2S, 128)
+    timed("run_scan at B=256 (2x lanes)", kg.run_scan, A2)
+except Exception as e:
+    print(f"B=256 variant failed: {e}", flush=True)
 
-# 5. emit flatten + compaction
+# 5. emit flatten + compaction (emits are u16-pair PACKED: PJ rows)
+PJ = (3 * R + 1) // 2
 def f_comp(emits, ekeys, evalid, facc, fkey):
     em = jnp.concatenate([emits, facc[None]], axis=0)
     ek = jnp.concatenate([ekeys, fkey[None]], axis=0)
@@ -93,17 +105,19 @@ def f_comp(emits, ekeys, evalid, facc, fkey):
     first_valid = ev & (jnp.cumsum(ev.astype(jnp.uint32), axis=0) == 1)
     tpos = jnp.arange(Bp, dtype=jnp.uint32)[:, None]
     boundary = first_valid | (tpos == jnp.uint32(B))
-    e_rows = em.reshape(Bp, 3 * R, G).transpose(2, 0, 1).reshape(Bp * G, 3 * R)
-    e_keys = ek.reshape(Bp, G).T.reshape(Bp * G)
-    e_val = ev.T.reshape(Bp * G)
-    e_bnd = boundary.T.reshape(Bp * G)
+    e_rows = em.reshape(Bp, PJ, G).transpose(0, 2, 1).reshape(Bp * G, PJ)
+    e_keys = ek.reshape(Bp, G).reshape(Bp * G)
+    e_val = ev.reshape(Bp * G)
+    e_bnd = boundary.reshape(Bp * G)
     live = e_val & (e_keys != 0)
     ckeys = jnp.where(live, e_keys, SENTINEL)
     ckeys, cperm = jax.lax.sort_key_val(
         ckeys, jnp.arange(Bp * G, dtype=jnp.uint32))
     ckeys = ckeys[:Scap]
-    part = jnp.take(e_rows, cperm[:Scap], axis=0)
+    packed = jnp.take(e_rows, cperm[:Scap], axis=0)
     bnd = jnp.take(e_bnd, cperm[:Scap], axis=0)
+    part = jnp.stack([packed & jnp.uint32(0xFFFF), packed >> 16],
+                     axis=-1).reshape(Scap, 2 * PJ)[:, :3 * R]
     return ckeys, part, bnd
 f_comp = jax.jit(f_comp)
 timed("emit flatten + compact sort + takes", f_comp, emits, ekeys, evalid, facc, fkey)

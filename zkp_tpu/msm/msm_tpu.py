@@ -169,12 +169,12 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
     Scap = -(-Scap // 1024) * 1024   # klayout-friendly (128 lanes x st=8)
 
     inf_col = packed_affine[:, 4 * PCR] != 0     # inf u16 column
-    # ONE u16->u32 pair bitcast up front: every window then gathers and
-    # relayouts HALF the u32 rows (limbs 2i | 2i+1<<16; kernel unpack is
-    # free VPU shifts)
+    # the GATHER stays u16 (N, 64)-at-128B -- u32 rows below 256 B hit a
+    # 2-3x row-gather cliff (scripts/gather_transpose_bench.py; bitcasting
+    # BEFORE the gather measured 1249 ms vs 814 ms at 2^20).  The u16->u32
+    # pair bitcast happens on the gathered rows instead, so the relayout
+    # and scan input still ride half the u32 rows.
     PW16 = packed_affine.shape[1]
-    pa32 = jax.lax.bitcast_convert_type(
-        packed_affine.reshape(N, PW16 // 2, 2), jnp.uint32)   # (N, PW16/2)
     keys_lsb, negs_lsb, nwin = signed_digits(scalar_limbs, c, nbits=nbits)
     digits_all = jnp.where(inf_col[None, :], jnp.uint32(0), keys_lsb[::-1])
     negs_all = negs_lsb[::-1]
@@ -191,11 +191,13 @@ def msm_tpu(kg: KGroup, packed_affine, scalar_limbs, c: int = 16, B: int = 128,
     def window_body(_, xs):
         digits, negs = xs
         keys, perm = jax.lax.sort_key_val(digits, jnp.arange(N, dtype=jnp.uint32))
-        rows = jnp.take(pa32, perm, axis=0)                   # THE gather
+        rows16 = jnp.take(packed_affine, perm, axis=0)        # THE gather (u16)
+        rows = jax.lax.bitcast_convert_type(
+            rows16.reshape(N, PW16 // 2, 2), jnp.uint32)      # (N, PW16/2)
         sneg = jnp.take(negs, perm, axis=0)
         # time-major klayout: element n -> (g = n // B, t = n % B); y is
         # negated IN the scan kernel (neg-mask row)
-        PW32 = pa32.shape[1]
+        PW32 = PW16 // 2
         rows_t = rows.reshape(G, B, PW32).transpose(1, 2, 0)[:, :2 * PCR + 1]
         keys_t = keys.reshape(G, B).T[:, None, :]                   # (B, 1, G)
         negs_t = sneg.reshape(G, B).T[:, None, :].astype(jnp.uint32)
