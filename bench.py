@@ -192,6 +192,13 @@ def main():
     best = min(times)
     pps = n / best
     log(f"MSM 2^{log_n}: best {best*1000:.1f} ms -> {pps:,.0f} points/s")
+    try:
+        from zkp_tpu.utils.roofline import ROUND4_MEASURED, report
+        meas = dict(ROUND4_MEASURED)
+        meas["total_ms"] = best * 1000
+        log(report(meas, n=n))
+    except Exception as e:
+        log(f"roofline report skipped: {e}")
 
     # ---- stage 2 (diagnostic): NTT butterflies/s
     if time_left() > 120:

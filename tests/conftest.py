@@ -10,6 +10,17 @@ single-client tunnel and concurrent test processes deadlock on it.
 import os
 import sys
 
+# XLA:CPU's compiler segfaulted twice under heavy concurrent memory
+# pressure (round-4 log; both tests pass solo).  If it is an LLVM stack
+# overflow, a raised stack limit (inherited by XLA's compile threads)
+# prevents it; harmless otherwise.
+try:
+    import resource
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except Exception:
+    pass
+
 _USE_TPU = os.environ.get("ZKP_TESTS_TPU", "") == "1"  # opt-in hardware runs
 
 flags = os.environ.get("XLA_FLAGS", "")
