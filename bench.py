@@ -216,9 +216,15 @@ def main():
         except Exception as e:  # diagnostics must not kill the primary metric
             log(f"NTT bench skipped: {e}")
 
-    # ---- stage 3 (diagnostic): Groth16 prove wall-clock (BASELINE.md:27)
+    # ---- stage 3 (diagnostic): Groth16 prove wall-clock (BASELINE.md:27).
+    # Default OFF: the axon remote-compile helper reproducibly dies
+    # (exit 1, stale TPU_WORKER_HOSTNAMES complaint) compiling the prover's
+    # 2^18-shape MSM modules after ~40 min of compile -- two attempts on
+    # 2026-08-21; the 2^20 bench module compiles fine.  Enable with
+    # ZKP_BENCH_PROVE=1 once the helper is fixed (the 2^16 fixture is
+    # cached in .bench_cache, so the stage starts at the prove compiles).
     if platform == "tpu" and time_left() > 300 and \
-            os.environ.get("ZKP_BENCH_PROVE", "1") == "1":
+            os.environ.get("ZKP_BENCH_PROVE", "0") == "1":
         try:
             prove_log_n = int(os.environ.get("ZKP_BENCH_PROVE_LOG_N", "16"))
             from scripts.prove_bench import run_prove_bench
