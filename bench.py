@@ -91,6 +91,8 @@ def get_points(ops, n, curve_name, platform):
     os.makedirs(repo_cache, exist_ok=True)
     paths = [os.path.join(repo_cache, fname), os.path.join("/tmp", fname)]
     t0 = time.time()
+    from zkp_tpu.utils.artifacts import ensure_file
+    ensure_file(paths[0], log)    # reassemble .part chunks + verify sha
     for p in paths:
         if os.path.exists(p):
             d = np.load(p)
@@ -138,6 +140,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+    from zkp_tpu.utils.artifacts import check_versions
+    check_versions(log)   # stale-toolchain detection (round-4 advisor)
+
     platform = jax.devices()[0].platform
     log_n = int(os.environ.get("ZKP_BENCH_LOG_N", 20 if platform != "cpu" else 10))
     curve_name = os.environ.get("ZKP_BENCH_CURVE", "bls12_381")
@@ -176,11 +181,17 @@ def main():
             log(f"AOT export cache unavailable ({e!r}); direct path")
     else:
         msm = MSM(ops.g1)
+    cache_before = set(os.listdir(_CACHE)) if os.path.isdir(_CACHE) else set()
     t0 = time.time()
     out = msm(xs, ys, inf, scalars)
     fence(out)
     first = time.time() - t0
     log(f"MSM compile+first run: {first:.1f}s")
+    new_entries = (set(os.listdir(_CACHE)) if os.path.isdir(_CACHE)
+                   else set()) - cache_before
+    log(f"persistent compile cache: "
+        + (f"MISS, {len(new_entries)} new entries written" if new_entries
+           else "HIT (no new entries)"))
     record(log_n, n / first)             # provisional: first-run rate
     times = []
     for _ in range(3):

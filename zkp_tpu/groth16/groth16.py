@@ -413,6 +413,13 @@ class Prover:
                                     xs, ys, inf, scal)
         n = xs.shape[0]
         if _jax.default_backend() == "tpu" and n >= self.KERNEL_MIN_N:
+            import os as _os
+            if _os.environ.get("ZKP_PROVER_AOT", "1") == "1":
+                # canonical-shape AOT dispatch: the V-sized G1 MSMs share
+                # one compiled module, artifacts skip the ~25 min re-trace
+                # (see msm/aot_dispatch.py + scripts/prewarm_prove.py)
+                from ..msm.aot_dispatch import aot_msm
+                return aot_msm(self.ops, which, xs, ys, inf, scal)
             if which not in self._kmsm:
                 from ..msm.msm_tpu import MSMKernel
                 self._kmsm[which] = MSMKernel(self.ops, which)

@@ -41,28 +41,45 @@ def source_hash(*modules) -> str:
     return h.hexdigest()[:16]
 
 
-def cached_export(jitted, args, cache_dir: str, tag: str, log=lambda *a: None):
+def cached_export(jitted, args, cache_dir: str, tag: str, log=lambda *a: None,
+                  platform: str | None = None, devkind: str | None = None,
+                  export_only: bool = False):
     """Return a callable running ``jitted`` via an exported-artifact cache.
 
     On miss: trace + lower ``jitted`` with ``jax.export``, persist the
     serialized module, return its ``call``.  On hit: deserialize (no
     tracing) and return ``call`` -- backend compile still happens once per
     process but is served by the persistent compilation cache.
+
+    ``platform``/``devkind``: lower for a platform other than the local
+    backend (e.g. trace a TPU module from a CPU-only process while the TPU
+    is busy; jax.export supports cross-platform lowering).  ``devkind``
+    names the artifact (defaults to the local device kind).
+    ``export_only``: produce/verify the artifact without returning a live
+    callable (used by the prewarm driver).
     """
+    from . import artifacts
     os.makedirs(cache_dir, exist_ok=True)
-    dev = jax.devices()[0].device_kind.replace(" ", "_")
+    dev = (devkind or jax.devices()[0].device_kind).replace(" ", "_")
     path = os.path.join(
         cache_dir, f"aot_{tag}_{dev}_{args_fingerprint(args)}.bin")
-    if os.path.exists(path):
+    # reassemble .part chunks + verify sha; mismatch => treat as absent
+    if artifacts.ensure_file(path, log) is not None:
+        if export_only:
+            log(f"AOT artifact present: {path}")
+            return None
         with open(path, "rb") as f:
             exp = jexport.deserialize(f.read())
         log(f"AOT artifact loaded: {path}")
         return exp.call
-    exp = jexport.export(jitted)(*args)
+    kw = {}
+    if platform is not None and jax.default_backend() != platform:
+        kw["platforms"] = [platform]
+    exp = jexport.export(jitted, **kw)(*args)
     data = exp.serialize()
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
     log(f"AOT artifact exported: {path} ({len(data)/1e6:.1f} MB)")
-    return exp.call
+    return None if export_only else exp.call
