@@ -223,7 +223,21 @@ def main():
             t0 = time.time(); fence(dom.ntt(coeffs))
             ntt_t = time.time() - t0
             bfly = (1 << ntt_log_n) // 2 * ntt_log_n
-            log(f"NTT 2^{ntt_log_n}: {ntt_t*1000:.1f} ms -> {bfly/ntt_t:,.0f} butterflies/s")
+            log(f"NTT 2^{ntt_log_n}: {ntt_t*1000:.1f} ms -> {bfly/ntt_t:,.0f} butterflies/s (single call, ~24 ms tunnel sync included)")
+            # marginal (in-pipeline) cost: 8 chained transforms in ONE jit --
+            # what a prove pays per transform, no per-call dispatch overhead
+            try:
+                import jax as _j
+                reps = 8
+                f8 = _j.jit(lambda x: _j.lax.fori_loop(
+                    0, reps, lambda i, v: dom._jitted("ntt")(v), x))
+                fence(f8(coeffs))
+                t0 = time.time(); fence(f8(coeffs))
+                tm = (time.time() - t0) / reps
+                log(f"NTT 2^{ntt_log_n} marginal: {tm*1000:.1f} ms/transform "
+                    f"-> {bfly/tm:,.0f} butterflies/s (8 chained in one jit)")
+            except Exception as e:
+                log(f"marginal NTT timing skipped: {e}")
         except Exception as e:  # diagnostics must not kill the primary metric
             log(f"NTT bench skipped: {e}")
 

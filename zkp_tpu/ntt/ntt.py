@@ -98,6 +98,15 @@ class Domain:
         from ..field.kfield import kfield
         return kfield(self.field.p, self.field.n)
 
+    def kntt_ok(self) -> bool:
+        """VMEM-resident two-level kernel transform available for this size?"""
+        from . import kntt as _k
+        return self._use_kernels() and _k.supported(self.log_n)
+
+    def kn(self):
+        from .kntt import kntt_for
+        return kntt_for(self.field.p, self.field.n, self.log_n, self.omega)
+
     def _transform(self, x, tw):
         f = self.field
         N, L = self.n, f.n
@@ -138,6 +147,27 @@ class Domain:
         graphs takes minutes to compile."""
         key = (kind,) + extra
         if key not in self._jit_cache:
+            if self.kntt_ok():
+                # two-level VMEM-resident kernels (kntt.py); natural-order
+                # contract preserved via the fast-order permutation
+                kn = self.kn()
+                tk = lambda x: jnp.transpose(x, (1, 0))
+                if kind == "ntt":
+                    f = lambda x: tk(kn.ntt(tk(x)))
+                elif kind == "intt":
+                    f = lambda x: tk(kn.intt(tk(x)))
+                elif kind == "coset_ntt":
+                    s = extra[0]
+                    f = lambda x: tk(jnp.take(kn.fast_coset_ntt(tk(x), s),
+                                              kn._perm, axis=1))
+                elif kind == "coset_intt":
+                    s = extra[0]
+                    f = lambda x: tk(kn.fast_coset_intt(
+                        jnp.take(tk(x), kn._iperm, axis=1), s))
+                else:
+                    raise ValueError(kind)
+                self._jit_cache[key] = jax.jit(f)
+                return self._jit_cache[key]
             if kind == "ntt":
                 f = lambda x: self._transform(x, self._tw_fwd)
             elif kind == "intt":

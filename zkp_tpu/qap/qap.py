@@ -214,6 +214,27 @@ class QAP:
         d = self.domain
         g = self.curve.fr_generator
         a_v, b_v, c_v = self._eval_vectors_impl(z)
+        if d.kntt_ok():
+            # paired-order pipeline: the coset evaluations stay in kntt's
+            # fast (bit-reversed-digit) order end to end -- the pointwise
+            # quotient is order-agnostic, so only the three INTT inputs pay
+            # a gather and the output comes back natural (kntt.py contract)
+            from ..ntt.kntt import _mulsub_const_k
+            kn = d.kn()
+            z_inv = pow(d.vanishing_on_coset(g), -1, f.p)
+            from ..field.fp import ints_to_limbs
+            R = 1 << (16 * f.n)
+            zmont = tuple(
+                int(v) for v in ints_to_limbs([z_inv * R % f.p], f.n)[0])
+            tk = lambda x: jnp.transpose(x, (1, 0))
+
+            def to_coset(v):
+                coeffs = kn.fast_intt(tk(jnp.take(v, kn._iperm, axis=0)))
+                return kn.fast_coset_ntt(coeffs, g)
+
+            h_g = _mulsub_const_k(f.p, f.n, zmont,
+                                  to_coset(a_v), to_coset(b_v), to_coset(c_v))
+            return tk(kn.fast_coset_intt(h_g, g))
         a_c = d.intt(a_v)
         b_c = d.intt(b_v)
         c_c = d.intt(c_v)
