@@ -476,24 +476,44 @@ class Prover:
             oracle = CurveRef(ops.params)
             q = ops.params.q
 
-            def g1_host(P):
-                """Device jacobian tuple -> host affine (x, y) or None."""
-                X, Y, Z = (int(fq.decode(t)) for t in P)
+            def _aff1(Xl, Yl, Zl):
+                X, Y, Z = (int(fq.decode(t)) for t in (Xl, Yl, Zl))
                 if Z == 0:
                     return None
                 zi = pow(Z, -1, q)
                 return (X * zi * zi % q, Y * zi * zi % q * zi % q)
 
-            def g2_host(P):
+            def g1_host(P):
+                """Device jacobian tuple -> host affine (x, y) or None.
+                A leading lane axis (chunked AOT MSM partial sums,
+                msm/aot_dispatch.py) is summed via the oracle."""
+                X, Y, Z = P
+                if X.ndim == 1:
+                    return _aff1(X, Y, Z)
+                acc = None
+                for i in range(X.shape[0]):
+                    acc = oracle.g1_add(acc, _aff1(X[i], Y[i], Z[i]))
+                return acc
+
+            def _aff2(Xl, Yl, Zl):
                 def d(t):
                     c = fq.decode(t)
                     return Fq2(q, int(c[0]), int(c[1]))
-                X, Y, Z = (d(t) for t in P)
+                X, Y, Z = (d(t) for t in (Xl, Yl, Zl))
                 if Z.is_zero():
                     return None
                 zi = Z.inv()
                 zi2 = zi * zi
                 return (X * zi2, Y * zi2 * zi)
+
+            def g2_host(P):
+                X, Y, Z = P
+                if X.ndim == 2:
+                    return _aff2(X, Y, Z)
+                acc = None
+                for i in range(X.shape[0]):
+                    acc = oracle.g2_add(acc, _aff2(X[i], Y[i], Z[i]))
+                return acc
 
             def aff_host_g1(t):
                 """pk single affine (x, y, inf) device -> host tuple."""

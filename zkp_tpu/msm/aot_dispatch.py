@@ -75,11 +75,21 @@ def dummy_inputs(ops, which: str, npad: int):
 _CALLS = {}  # (curve, which, npad) -> callable, per-process
 
 
+# the axon remote-compile helper cannot serialize executables over 2 GiB;
+# the G2 MSM module at 2^18-padded shape measured 2.7 GB (round-5 log), so
+# G2 MSMs are CHUNKED: split into 2^16-padded pieces run through one
+# smaller module, partial sums stacked on a lane axis for the prover's
+# O(1) host-side combine (Prover.prove sums the lanes via the oracle).
+CHUNK_LOG2 = {"g2": 16}
+
+
 def aot_msm(ops, which: str, xs, ys, inf, scalars,
             cache_dir: str | None = None, log=lambda *a: None,
             devkind: str | None = None):
-    """Run an MSM through the canonical-shape AOT cache.  Returns the
-    jacobian tuple like MSMKernel.__call__."""
+    """Run an MSM through the canonical-shape AOT cache.  Returns a
+    jacobian tuple like MSMKernel.__call__, except that each coordinate
+    carries a LEADING LANE AXIS of partial sums (size 1 when unchunked);
+    the true result is the sum of the lanes."""
     from ..utils.aot import cached_export
     from .msm_tpu import MSMKernel
 
@@ -87,17 +97,27 @@ def aot_msm(ops, which: str, xs, ys, inf, scalars,
         root = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         cache_dir = os.path.join(root, ".bench_cache", "aot")
-    npad, c, b = canonical_msm_shape(xs.shape[0])
-    key = (ops.params.name, which, npad)
-    xs, ys, inf, scalars = pad_msm_inputs(xs, ys, inf, scalars, npad)
-    if key not in _CALLS:
-        mk = MSMKernel(ops, which)
-        fn = jax.jit(lambda a, bb, ii, s: mk(a, bb, ii, s, c=c, B=b))
-        _CALLS[key] = cached_export(
-            fn, (xs, ys, inf, scalars), cache_dir,
-            source_tag(ops.params.name, which), log,
-            platform="tpu", devkind=devkind)
-    return _CALLS[key](xs, ys, inf, scalars)
+    n = xs.shape[0]
+    chunk = 1 << CHUNK_LOG2.get(which, 60)
+    npad, c, b = canonical_msm_shape(min(n, chunk))
+
+    def one(key_npad, args):
+        key = (ops.params.name, which, key_npad)
+        if key not in _CALLS:
+            mk = MSMKernel(ops, which)
+            _, cc, bb = canonical_msm_shape(key_npad)
+            fn = jax.jit(lambda a, b2, i2, s2: mk(a, b2, i2, s2, c=cc, B=bb))
+            _CALLS[key] = cached_export(
+                fn, args, cache_dir, source_tag(ops.params.name, which), log,
+                platform="tpu", devkind=devkind)
+        return _CALLS[key](*args)
+
+    parts = []
+    for lo in range(0, n, chunk):
+        sl = slice(lo, min(n, lo + chunk))
+        args = pad_msm_inputs(xs[sl], ys[sl], inf[sl], scalars[sl], npad)
+        parts.append(one(npad, args))
+    return tuple(jnp.stack([p[i] for p in parts], axis=0) for i in range(3))
 
 
 def export_module(ops, which: str, npad: int, cache_dir: str,
