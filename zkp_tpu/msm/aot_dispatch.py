@@ -3,9 +3,8 @@
 The prover runs 5 MSMs (3 G1 + 1 G2 + the H-basis G1 MSM; reference
 Prover::prove, groth16-core/src/lib.rs:139-272).  Each distinct input
 shape costs ~25 min of python tracing/StableHLO lowering on a 2-vCPU
-host plus minutes of backend compile, and the axon remote-compile helper
-has a per-process uptime budget that a monolithic prove compile blows
-(round-4 finding).  This module:
+host plus minutes of backend compile, and the remote TPU compile service
+cannot serialize executables over 2 GiB.  This module:
 
   1. pads every MSM host-side to a canonical power-of-two shape and
      derives the Pippenger window width ``c`` from the PADDED size, so
@@ -15,7 +14,11 @@ has a per-process uptime budget that a monolithic prove compile blows
      tracing/lowering is paid once per source version (artifacts in
      ``.bench_cache/aot``, exportable from a CPU-only process while the
      TPU is busy);
-  3. lets a prewarm driver (scripts/prewarm_prove.py) build artifacts
+  3. compiles G2 as TWO executables (msm_split.py: windows scan +
+     bucket reduction) -- the monolithic G2 module measures ~2.78 GB of
+     executable metadata at any padded shape, over the service's hard
+     2 GiB serialization cap (round-5 log);
+  4. lets a prewarm driver (scripts/prewarm_prove.py) build artifacts
      and backend-compile cache entries one module per process, so a
      helper death never loses more than one module's work.
 """
@@ -28,6 +31,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# G2 runs the two-executable pipeline (see module docstring point 3)
+SPLIT = {"g2"}
+
 
 def canonical_msm_shape(n: int):
     """(Npad, c, B) for an n-point MSM; matches MSMKernel.__call__'s
@@ -37,6 +43,14 @@ def canonical_msm_shape(n: int):
     c = int(min(16, max(8, npad.bit_length() - 1 - 4)))
     b = max(128, -(-npad // 2048))
     return npad, c, b
+
+
+def n_windows(nbits: int, c: int) -> int:
+    """Static twin of pippenger.signed_digits's window count."""
+    nwin = -(-nbits // c)
+    if nbits - (nwin - 1) * c == c:
+        nwin += 1
+    return nwin
 
 
 def pad_msm_inputs(xs, ys, inf, scalars, npad: int):
@@ -53,14 +67,19 @@ def pad_msm_inputs(xs, ys, inf, scalars, npad: int):
             z(scalars))
 
 
-def source_tag(curve_name: str, which: str) -> str:
+def source_tag(curve_name: str, which: str, part: str = "") -> str:
     """Content hash over every module whose source shapes the lowered MSM
     graph (a stale artifact would silently run old kernels)."""
     import zkp_tpu.curve.pkernels as _pk
     import zkp_tpu.field.limbs as _lb
     import zkp_tpu.msm.msm_tpu as _mt
     from ..utils.aot import source_hash
-    return f"pmsm_{which}_{curve_name}_{source_hash(_mt, _pk, _lb)}"
+    mods = [_mt, _pk, _lb]
+    if part:
+        import zkp_tpu.msm.msm_split as _ms
+        mods.append(_ms)
+    suffix = f"_{part}" if part else ""
+    return f"pmsm{suffix}_{which}_{curve_name}_{source_hash(*mods)}"
 
 
 def dummy_inputs(ops, which: str, npad: int):
@@ -75,11 +94,99 @@ def dummy_inputs(ops, which: str, npad: int):
 _CALLS = {}  # (curve, which, npad) -> callable, per-process
 
 
-# the axon remote-compile helper cannot serialize executables over 2 GiB;
-# the G2 MSM module at 2^18-padded shape measured 2.7 GB (round-5 log), so
-# G2 MSMs are CHUNKED: split into 2^16-padded pieces run through one
-# smaller module, partial sums stacked on a lane axis for the prover's
-# O(1) host-side combine (Prover.prove sums the lanes via the oracle).
+def _default_cache_dir():
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(root, ".bench_cache", "aot")
+
+
+def _force_mosaic():
+    """Context patch: pkernels picks interpret mode off the local backend;
+    a TPU export from a CPU process must force Mosaic lowering (runtime
+    patch, not a source edit -- pkernels.py is part of the artifact source
+    hash and editing it would invalidate every shipped artifact)."""
+    from ..curve import pkernels
+
+    class _Ctx:
+        def __enter__(self):
+            self.old = pkernels._interpret
+            pkernels._interpret = lambda: False
+
+        def __exit__(self, *a):
+            pkernels._interpret = self.old
+
+    return _Ctx()
+
+
+def get_call(ops, which: str, npad: int, cache_dir: str | None = None,
+             devkind: str | None = None, log=lambda *a: None,
+             export_only: bool = False):
+    """Build (or load) the canonical-shape MSM callable.
+
+    Returns a function (xs, ys, inf, scalars)->jac tuple (inputs already
+    padded to npad), or None with ``export_only`` (prewarm phase 1)."""
+    from ..utils.aot import cached_export
+    from .msm_tpu import MSMKernel
+
+    cache_dir = cache_dir or _default_cache_dir()
+    curve = ops.params.name
+    _, c, b = canonical_msm_shape(npad)
+    args = dummy_inputs(ops, which, npad)
+    mk = MSMKernel(ops, which)
+
+    if which not in SPLIT:
+        fn = jax.jit(lambda a, b2, i2, s2: mk(a, b2, i2, s2, c=c, B=b))
+        with _force_mosaic() if export_only else _nullctx():
+            return cached_export(fn, args, cache_dir,
+                                 source_tag(curve, which), log,
+                                 platform="tpu", devkind=devkind,
+                                 export_only=export_only)
+
+    from .msm_split import msm_windows, msm_reduce
+    kg = mk.kg
+    nbits = ops.params.r.bit_length()
+    nwin = n_windows(nbits, c)
+    half = 1 << (c - 1)
+    pack_fn = jax.jit(lambda a, b2, i2: mk.pack(a, b2, i2))
+    win_fn = jax.jit(lambda pa, s: msm_windows(kg, pa, s, c=c, B=b,
+                                               nbits=nbits))
+    red_fn = jax.jit(lambda bk: msm_reduce(kg, bk, c=c))
+    pa0 = pack_fn(*args[:3])
+    bk0 = jnp.zeros((nwin, half, 3 * kg.R), jnp.uint32)
+    with _force_mosaic() if export_only else _nullctx():
+        wcall = cached_export(win_fn, (pa0, args[3]), cache_dir,
+                              source_tag(curve, which, "w"), log,
+                              platform="tpu", devkind=devkind,
+                              export_only=export_only)
+        rcall = cached_export(red_fn, (bk0,), cache_dir,
+                              source_tag(curve, which, "r"), log,
+                              platform="tpu", devkind=devkind,
+                              export_only=export_only)
+    if export_only:
+        return None
+
+    R = kg.R
+    sd = (2, ops.fq.n) if which == "g2" else (ops.fq.n,)
+
+    def call(a, b2, i2, s2):
+        out = rcall(wcall(pack_fn(a, b2, i2), s2))    # (1, 3R)
+        X, Y, Z = out[0, :R], out[0, R:2 * R], out[0, 2 * R:]
+        return X.reshape(sd), Y.reshape(sd), Z.reshape(sd)
+
+    return call
+
+
+class _nullctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+# chunk G2 inputs so every call hits the (smaller) canonical module; the
+# per-chunk partial sums stack on a lane axis for the prover's O(1)
+# host-side combine (Prover.prove sums the lanes via the oracle)
 CHUNK_LOG2 = {"g2": 16}
 
 
@@ -90,62 +197,31 @@ def aot_msm(ops, which: str, xs, ys, inf, scalars,
     jacobian tuple like MSMKernel.__call__, except that each coordinate
     carries a LEADING LANE AXIS of partial sums (size 1 when unchunked);
     the true result is the sum of the lanes."""
-    from ..utils.aot import cached_export
-    from .msm_tpu import MSMKernel
-
-    if cache_dir is None:
-        root = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
-        cache_dir = os.path.join(root, ".bench_cache", "aot")
     n = xs.shape[0]
     chunk = 1 << CHUNK_LOG2.get(which, 60)
-    npad, c, b = canonical_msm_shape(min(n, chunk))
-
-    def one(key_npad, args):
-        key = (ops.params.name, which, key_npad)
-        if key not in _CALLS:
-            mk = MSMKernel(ops, which)
-            _, cc, bb = canonical_msm_shape(key_npad)
-            fn = jax.jit(lambda a, b2, i2, s2: mk(a, b2, i2, s2, c=cc, B=bb))
-            _CALLS[key] = cached_export(
-                fn, args, cache_dir, source_tag(ops.params.name, which), log,
-                platform="tpu", devkind=devkind)
-        return _CALLS[key](*args)
-
+    npad, _, _ = canonical_msm_shape(min(n, chunk))
+    key = (ops.params.name, which, npad)
+    if key not in _CALLS:
+        _CALLS[key] = get_call(ops, which, npad, cache_dir=cache_dir,
+                               devkind=devkind, log=log)
     parts = []
     for lo in range(0, n, chunk):
         sl = slice(lo, min(n, lo + chunk))
         args = pad_msm_inputs(xs[sl], ys[sl], inf[sl], scalars[sl], npad)
-        parts.append(one(npad, args))
+        parts.append(_CALLS[key](*args))
     return tuple(jnp.stack([p[i] for p in parts], axis=0) for i in range(3))
 
 
 def export_module(ops, which: str, npad: int, cache_dir: str,
                   devkind: str, log=print) -> None:
-    """Prewarm phase 1 (CPU-safe): trace + lower + serialize one module.
-
-    pkernels picks interpret mode off the local backend; a TPU export
-    from a CPU process must force Mosaic lowering (runtime patch, not a
-    source edit -- pkernels.py is part of the artifact source hash and
-    editing it would invalidate every shipped artifact)."""
-    from ..curve import pkernels
-    from ..utils.aot import cached_export
-    from .msm_tpu import MSMKernel
-    _, c, b = canonical_msm_shape(npad)
-    args = dummy_inputs(ops, which, npad)
-    mk = MSMKernel(ops, which)
-    fn = jax.jit(lambda a, bb, ii, s: mk(a, bb, ii, s, c=c, B=b))
-    old = pkernels._interpret
-    pkernels._interpret = lambda: False
-    try:
-        cached_export(fn, args, cache_dir, source_tag(ops.params.name, which),
-                      log, platform="tpu", devkind=devkind, export_only=True)
-    finally:
-        pkernels._interpret = old
+    """Prewarm phase 1 (CPU-safe): trace + lower + serialize the
+    module(s) for one canonical shape."""
+    get_call(ops, which, npad, cache_dir=cache_dir, devkind=devkind,
+             log=log, export_only=True)
 
 
 def compile_module(ops, which: str, npad: int, cache_dir: str, log=print):
-    """Prewarm phase 2 (needs the TPU): deserialize the artifact, run it
+    """Prewarm phase 2 (needs the TPU): deserialize the artifact(s), run
     once so the backend compile lands in the persistent compile cache."""
     out = aot_msm(ops, which, *dummy_inputs(ops, which, npad),
                   cache_dir=cache_dir, log=log)

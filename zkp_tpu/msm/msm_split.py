@@ -1,0 +1,229 @@
+"""Two-executable MSM: the windows scan and the bucket reduction as
+SEPARATE jit modules.
+
+The remote TPU compile service cannot serialize executables over 2 GiB,
+and the monolithic G2 MSM module compiles to ~2.78 GB of executable
+metadata at ANY padded shape (the G2 point-formula kernels are ~3x the
+G1 code, and the single-module G1 executables already measure ~0.9 GB).
+Splitting the pipeline at its natural barrier -- bucket tables out of the
+windows scan, weighted reduction after -- puts each half well under the
+cap at the cost of one extra dispatch.
+
+This module deliberately DUPLICATES the ~150-line window body and Horner
+tail from ``msm_tpu.msm_tpu`` instead of refactoring them out: the prover
+and bench AOT artifacts are keyed by a content hash of msm_tpu.py /
+pkernels.py / limbs.py, and an edit there would cold-start the official
+benchmark (round-3 lost its number to exactly that).  Equivalence with
+the monolith is pinned by tests/test_msm_split.py on every run.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..curve.pkernels import KGroup, SENTINEL
+from .pippenger import signed_digits
+from .msm_tpu import _weighted_chunks, _kroll, _mask_k
+
+
+@functools.partial(jax.jit, static_argnames=("kg", "c", "B", "nbits"))
+def msm_windows(kg: KGroup, packed_affine, scalar_limbs, c: int = 16,
+                B: int = 128, nbits: int | None = None):
+    """Digit recode + per-window sort/gather/scan/compact/fold/scatter.
+
+    Returns the stacked bucket tables (nwin, 2^(c-1), 3R).  Body identical
+    to the first half of msm_tpu.msm_tpu (see module docstring for why it
+    is duplicated)."""
+    N = packed_affine.shape[0]
+    R = kg.R
+    PCR = kg.k.PCR
+    G = N // B
+    S = G // 128
+    half = 1 << (c - 1)
+    assert c >= 8, "kernelized MSM needs >= 128 buckets (use the small-N path)"
+    Scap = min(N, half) + G
+    Scap = -(-Scap // 1024) * 1024
+
+    inf_col = packed_affine[:, 4 * PCR] != 0
+    PW16 = packed_affine.shape[1]
+    keys_lsb, negs_lsb, nwin = signed_digits(scalar_limbs, c, nbits=nbits)
+    digits_all = jnp.where(inf_col[None, :], jnp.uint32(0), keys_lsb[::-1])
+    negs_all = negs_lsb[::-1]
+
+    Bcap = min(-(-2 * G // 1024) * 1024, Scap)
+    Bc = Bcap // 128
+
+    def window_body(_, xs):
+        digits, negs = xs
+        keys, perm = jax.lax.sort_key_val(digits, jnp.arange(N, dtype=jnp.uint32))
+        rows16 = jnp.take(packed_affine, perm, axis=0)
+        rows = jax.lax.bitcast_convert_type(
+            rows16.reshape(N, PW16 // 2, 2), jnp.uint32)
+        sneg = jnp.take(negs, perm, axis=0)
+        PW32 = PW16 // 2
+        rows_t = rows.reshape(G, B, PW32).transpose(1, 2, 0)[:, :2 * PCR + 1]
+        keys_t = keys.reshape(G, B).T[:, None, :]
+        negs_t = sneg.reshape(G, B).T[:, None, :].astype(jnp.uint32)
+        A_key = jnp.concatenate([rows_t, keys_t, negs_t], axis=1)
+        A_key = A_key.reshape(B, 2 * PCR + 3, S, 128)
+
+        emits, ekeys, evalid, facc, fkey = kg.run_scan(A_key)
+        PJ = emits.shape[1]
+        emits = jnp.concatenate([emits, facc[None]], axis=0)
+        ekeys = jnp.concatenate([ekeys, fkey[None]], axis=0)
+        evalid = jnp.concatenate(
+            [evalid, jnp.ones_like(evalid[:1])], axis=0)
+        Bp = B + 1
+        ev = evalid.reshape(Bp, G) != 0
+        first_valid = ev & (jnp.cumsum(ev.astype(jnp.uint32), axis=0) == 1)
+        tpos = jnp.arange(Bp, dtype=jnp.uint32)[:, None]
+        boundary = first_valid | (tpos == jnp.uint32(B))
+        e_rows = emits.reshape(Bp, PJ, G).transpose(0, 2, 1).reshape(Bp * G, PJ)
+        e_keys = ekeys.reshape(Bp, G).reshape(Bp * G)
+        e_val = ev.reshape(Bp * G)
+        e_bnd = boundary.reshape(Bp * G)
+
+        live = e_val & (e_keys != 0)
+        ckeys = jnp.where(live, e_keys, SENTINEL)
+        ckeys, cperm = jax.lax.sort_key_val(
+            ckeys, jnp.arange(Bp * G, dtype=jnp.uint32))
+        take_n = min(Scap, Bp * G)
+        ckeys = ckeys[:take_n]
+        packed = jnp.take(e_rows, cperm[:take_n], axis=0)
+        bnd = jnp.take(e_bnd, cperm[:take_n], axis=0)
+        part = jnp.stack([packed & jnp.uint32(0xFFFF), packed >> 16],
+                         axis=-1).reshape(take_n, 2 * PJ)[:, :3 * R]
+        inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]
+        if take_n < Scap:
+            ckeys = jnp.concatenate(
+                [ckeys, jnp.full((Scap - take_n,), SENTINEL, jnp.uint32)])
+            part = jnp.concatenate(
+                [part, jnp.tile(inf_row, (Scap - take_n, 1))], axis=0)
+            bnd = jnp.concatenate([bnd, jnp.zeros((Scap - take_n,), bool)])
+        dead = ckeys == SENTINEL
+        part = jnp.where(dead[:, None], inf_row, part)
+
+        tgt = jnp.where(~dead & ~bnd, ckeys - 1, jnp.uint32(half))
+        buckets = jnp.tile(inf_row, (half + 1, 1)).at[tgt].set(part)[:half]
+
+        bkeys = jnp.where(bnd & ~dead, ckeys, SENTINEL)
+        bkeys, bperm = jax.lax.sort_key_val(
+            bkeys, jnp.arange(Scap, dtype=jnp.uint32))
+        bkeys = bkeys[:Bcap]
+        bpart = jnp.take(part, bperm[:Bcap], axis=0)
+        bdead = bkeys == SENTINEL
+        bpart = jnp.where(bdead[:, None], inf_row, bpart)
+
+        kv = kg.to_klayout(bpart)
+        start = jnp.searchsorted(bkeys, bkeys, side="left").astype(jnp.uint32)
+        pos = jnp.arange(Bcap, dtype=jnp.uint32)
+        rel = pos - start
+        rounds = int(np.ceil(np.log2(max(Bcap, 2))))
+
+        if 3 * kg.R * Bc * 128 * 4 * 8 <= 14 * 2**20:
+            def mk_mask(i):
+                d = np.uint32(1 << i)
+                src_ok = (rel >= d) & (rel % (2 * d) == d)
+                return jnp.roll(src_ok, -int(d)) & (pos < jnp.uint32(Bcap) - d)
+            masks = jnp.stack([mk_mask(i) for i in range(rounds)])
+            masks = masks.astype(jnp.uint32).reshape(rounds, Bc, 128)
+            kv = kg.fold_tree(kv, rounds, masks)
+        else:
+            def fold_body(i, kv):
+                d = (jnp.uint32(1) << i.astype(jnp.uint32))
+                src_ok = (rel >= d) & (rel % (2 * d) == d)
+                tgt_ok = jnp.roll(src_ok, -d) & (pos < jnp.uint32(Bcap) - d)
+                shifted = _kroll(kv, -d)
+                return kg.add_masked(kv, shifted, _mask_k(tgt_ok, Bc))
+
+            kv = jax.lax.fori_loop(0, rounds, fold_body, kv)
+        heads = kg.from_klayout(kv)
+        is_head = (pos == start) & ~bdead
+        btgt = jnp.where(is_head, bkeys - 1, jnp.uint32(half))
+        buckets = jnp.concatenate(
+            [buckets, inf_row], axis=0).at[btgt].set(heads)[:half]
+
+        return None, buckets
+
+    _, buckets_all = jax.lax.scan(window_body, None, (digits_all, negs_all))
+    return buckets_all                                # (nwin, half, 3R)
+
+
+@functools.partial(jax.jit, static_argnames=("kg", "c"))
+def msm_reduce(kg: KGroup, buckets_all, c: int):
+    """Batched weighted bucket reduction + Horner over windows.  Body
+    identical to the second half of msm_tpu.msm_tpu."""
+    R = kg.R
+    nwin, half, _ = buckets_all.shape
+    rows_all = buckets_all.reshape(nwin * half, 3 * R)
+    nchp = 1 << (nwin - 1).bit_length()
+    if nchp != nwin:
+        inf_row = kg.from_klayout(kg.jac_infinity(1))[:1]
+        rows_all = jnp.concatenate(
+            [rows_all, jnp.tile(inf_row, ((nchp - nwin) * half, 1))])
+    kBall = kg.to_klayout(rows_all)
+
+    T_arr, spT, pieces = _weighted_chunks(kg, kBall, half)
+
+    def heads(arr, sp):
+        rows = kg.from_klayout(arr)[: nwin * sp : sp]
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((128 - nwin, 3 * R), jnp.uint32)])
+        return kg.to_klayout(rows)
+
+    win = heads(T_arr, spT)
+    for arr, sp in pieces:
+        win = kg.add(win, heads(arr, sp))
+
+    acc = kg.jac_infinity(1)
+    for w in range(nwin):
+        acc = kg.double_n(acc, c)
+        acc = kg.add(acc, _kroll(win, -w) if w else win)
+    return kg.from_klayout(acc)[:1]                   # (1, 3R)
+
+
+def msm_tpu_split(kg: KGroup, packed_affine, scalar_limbs, c: int = 16,
+                  B: int = 128, nbits: int | None = None):
+    """Drop-in equivalent of msm_tpu.msm_tpu as two executables."""
+    buckets = msm_windows(kg, packed_affine, scalar_limbs, c=c, B=B,
+                          nbits=nbits)
+    return msm_reduce(kg, buckets, c=c)
+
+
+class MSMKernelSplit:
+    """MSMKernel twin running the two-executable pipeline (same input
+    conventions and result as msm_tpu.MSMKernel.__call__)."""
+
+    def __init__(self, curve_ops, which: str = "g1", st: int = 8):
+        from .msm_tpu import MSMKernel
+        self._mk = MSMKernel(curve_ops, which, st=st)
+
+    def __call__(self, xs, ys, inf, scalar_limbs, c: int | None = None,
+                 B: int | None = None):
+        mk = self._mk
+        N = xs.shape[0]
+        if c is None:
+            c = int(min(16, max(8, N.bit_length() - 4)))
+        Npad = max(1 << 14, 1 << (int(N - 1).bit_length()))
+        if B is None:
+            B = max(128, -(-Npad // 2048))
+        assert Npad % (128 * B) == 0
+        pa = mk.pack(xs, ys, inf)
+        if Npad != N:
+            pad = jnp.zeros((Npad - N, pa.shape[1]), jnp.uint16)
+            pad = pad.at[:, 4 * mk.kg.k.PCR].set(1)
+            pa = jnp.concatenate([pa, pad], axis=0)
+            scalar_limbs = jnp.concatenate(
+                [scalar_limbs,
+                 jnp.zeros((Npad - N, scalar_limbs.shape[1]), jnp.uint32)],
+                axis=0)
+        out = msm_tpu_split(mk.kg, pa, scalar_limbs, c=c, B=B,
+                            nbits=mk.ops.params.r.bit_length())
+        R = mk.kg.R
+        X, Y, Z = out[0, :R], out[0, R:2 * R], out[0, 2 * R:]
+        sd = (2, mk.ops.fq.n) if mk.which == "g2" else (mk.ops.fq.n,)
+        return X.reshape(sd), Y.reshape(sd), Z.reshape(sd)
