@@ -51,8 +51,13 @@ def test_split_matches_monolith_and_oracle():
     split = MSMKernelSplit(ops, "g1")
     got_m = mono(xs, ys, inf, limbs, c=8, B=16)
     got_s = split(xs, ys, inf, limbs, c=8, B=16)
-    for a, b in zip(got_m, got_s):
-        assert np.array_equal(np.asarray(a), np.asarray(b))
-    gx, gy, _ = ops.g1.to_affine(tuple(v[None] for v in got_s))
-    assert int(ops.fq.decode(gx[0])) == expect[0]
-    assert int(ops.fq.decode(gy[0])) == expect[1]
+
+    def affine(got):
+        gx, gy, gi = ops.g1.to_affine(tuple(v[None] for v in got))
+        assert not bool(gi[0])
+        return int(ops.fq.decode(gx[0])), int(ops.fq.decode(gy[0]))
+
+    # the reduce stages sum in different orders, so the Jacobian
+    # representatives differ; the GROUP ELEMENT must be identical
+    assert affine(got_m) == expect
+    assert affine(got_s) == expect

@@ -186,12 +186,59 @@ def msm_reduce(kg: KGroup, buckets_all, c: int):
     return kg.from_klayout(acc)[:1]                   # (1, 3R)
 
 
+@functools.partial(jax.jit, static_argnames=("kg", "c"))
+def msm_reduce_simple(kg: KGroup, buckets_all, c: int):
+    """Suffix-scan bucket reduction: structurally tiny executable.
+
+    ``msm_reduce`` (the weighted-chunks slab recursion copied from
+    msm_tpu) compiles to ~2.7 GB of executable metadata for G2 -- over
+    the remote compile service's 2 GiB serialization cap at ANY shape
+    (round-5 probes; the G1 version measures ~0.9 GB and squeaks under).
+    This variant trades ~25x more point-add arithmetic (still only
+    ~nwin * half * log(half) lane-adds, double-digit milliseconds for
+    prove shapes) for a module built from TWO small kernels:
+
+      window sum  S_w = sum_k (k+1) * B_wk  =  sum_i suffix_i,
+      suffix_i    = sum_{k >= i} B_wk   (log2(half) masked shifted adds),
+      total       = another log-tree sum, then Horner over windows.
+
+    All windows ride one klayout array (lane = w * half + k); masks keep
+    the scans from crossing window boundaries."""
+    R = kg.R
+    nwin, half, _ = buckets_all.shape
+    lanes = nwin * half
+    assert lanes % 128 == 0
+    kv = kg.to_klayout(buckets_all.reshape(lanes, 3 * R))
+    S = kv.shape[1]
+    pos = jnp.arange(lanes, dtype=jnp.uint32) % jnp.uint32(half)
+
+    def passes(kv):
+        s = 1
+        while s < half:
+            ok = pos < jnp.uint32(half - s)
+            kv = kg.add_masked(kv, _kroll(kv, -s), _mask_k(ok, S))
+            s *= 2
+        return kv
+
+    kv = passes(passes(kv))        # suffix scan, then sum of suffixes
+    # lane w*half holds window w's sum; Horner over windows MSB-first
+    rows = kg.from_klayout(kv)[::half]                  # (nwin, 3R)
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((128 - nwin, 3 * R), jnp.uint32)])
+    win = kg.to_klayout(rows)
+    acc = kg.jac_infinity(1)
+    for w in range(nwin):
+        acc = kg.double_n(acc, c)
+        acc = kg.add(acc, _kroll(win, -w) if w else win)
+    return kg.from_klayout(acc)[:1]                     # (1, 3R)
+
+
 def msm_tpu_split(kg: KGroup, packed_affine, scalar_limbs, c: int = 16,
                   B: int = 128, nbits: int | None = None):
     """Drop-in equivalent of msm_tpu.msm_tpu as two executables."""
     buckets = msm_windows(kg, packed_affine, scalar_limbs, c=c, B=B,
                           nbits=nbits)
-    return msm_reduce(kg, buckets, c=c)
+    return msm_reduce_simple(kg, buckets, c=c)
 
 
 class MSMKernelSplit:
